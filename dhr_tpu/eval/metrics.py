@@ -1,0 +1,188 @@
+"""Ranking metrics.
+
+Two families, matching the reference's two evaluators:
+
+- Run-based (dict of qid -> ranked docids with scores): MRR@k, recall@k,
+  R_cap@k, hole@k, top-k accuracy, nDCG@k — semantics parity with
+  ``retrieval/evaluation/custom_metrics.py:5-118`` (BEIR-style) and
+  ``pyserini.eval.trec_eval`` operating points used in the docs.
+- Array-based (per-query candidate relevance lists): MAP, R-Precision,
+  nDCG, MRR, MRR@10 — parity with ``tevatron/utils/metrics.py:4-92``
+  (used by the rerank evaluator).
+
+All functions are pure NumPy: evaluation is a host-side post-process, never
+on the device hot path.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Mapping, Sequence
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Run-based metrics.  qrels: {qid: {docid: rel}}, run: {qid: {docid: score}}.
+# --------------------------------------------------------------------------
+
+
+def _ranked_docs(run: Mapping[str, Mapping[str, float]], qid: str, k: int):
+    docs = run.get(qid, {})
+    return sorted(docs.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def mrr_at_k(qrels, run, k: int = 10) -> float:
+    """Mean reciprocal rank at cutoff k over queries present in qrels."""
+    total, n = 0.0, 0
+    for qid, rels in qrels.items():
+        n += 1
+        relevant = {d for d, r in rels.items() if r > 0}
+        for rank, (docid, _) in enumerate(_ranked_docs(run, qid, k), start=1):
+            if docid in relevant:
+                total += 1.0 / rank
+                break
+    return total / max(n, 1)
+
+
+def recall_at_k(qrels, run, k: int = 1000) -> float:
+    """Macro-averaged recall at k (fraction of relevant docs retrieved)."""
+    total, n = 0.0, 0
+    for qid, rels in qrels.items():
+        relevant = {d for d, r in rels.items() if r > 0}
+        if not relevant:
+            continue
+        n += 1
+        got = {d for d, _ in _ranked_docs(run, qid, k)}
+        total += len(got & relevant) / len(relevant)
+    return total / max(n, 1)
+
+
+def recall_cap_at_k(qrels, run, k: int = 100) -> float:
+    """Capped recall: denominator is min(k, #relevant) per query.
+
+    Parity: reference ``retrieval/evaluation/custom_metrics.py`` recall_cap.
+    """
+    total, n = 0.0, 0
+    for qid, rels in qrels.items():
+        relevant = {d for d, r in rels.items() if r > 0}
+        if not relevant:
+            continue
+        n += 1
+        got = {d for d, _ in _ranked_docs(run, qid, k)}
+        total += len(got & relevant) / min(k, len(relevant))
+    return total / max(n, 1)
+
+
+def hole_at_k(qrels, run, k: int = 100) -> float:
+    """Fraction of top-k docs that are unjudged (not in qrels at all)."""
+    total, n = 0.0, 0
+    for qid, rels in qrels.items():
+        n += 1
+        judged = set(rels.keys())
+        got = [d for d, _ in _ranked_docs(run, qid, k)]
+        if got:
+            total += sum(1 for d in got if d not in judged) / len(got)
+    return total / max(n, 1)
+
+
+def top_k_accuracy(qrels, run, k: int = 100) -> float:
+    """Fraction of queries with >= 1 relevant doc in the top k."""
+    total, n = 0.0, 0
+    for qid, rels in qrels.items():
+        n += 1
+        relevant = {d for d, r in rels.items() if r > 0}
+        got = {d for d, _ in _ranked_docs(run, qid, k)}
+        if got & relevant:
+            total += 1.0
+    return total / max(n, 1)
+
+
+def ndcg_at_k(qrels, run, k: int = 10) -> float:
+    """nDCG@k with graded relevance and log2(rank+1) discount."""
+    total, n = 0.0, 0
+    for qid, rels in qrels.items():
+        n += 1
+        dcg = 0.0
+        for rank, (docid, _) in enumerate(_ranked_docs(run, qid, k), start=1):
+            rel = rels.get(docid, 0)
+            if rel > 0:
+                dcg += (2**rel - 1) / math.log2(rank + 1)
+        ideal = sorted((r for r in rels.values() if r > 0), reverse=True)[:k]
+        idcg = sum(
+            (2**rel - 1) / math.log2(rank + 1)
+            for rank, rel in enumerate(ideal, start=1)
+        )
+        if idcg > 0:
+            total += dcg / idcg
+    return total / max(n, 1)
+
+
+def evaluate_run(qrels, run, k_values: Sequence[int] = (10, 100, 1000)) -> dict:
+    """One-call evaluation bundle over several cutoffs."""
+    out = {}
+    for k in k_values:
+        out[f"MRR@{k}"] = mrr_at_k(qrels, run, k)
+        out[f"nDCG@{k}"] = ndcg_at_k(qrels, run, k)
+        out[f"Recall@{k}"] = recall_at_k(qrels, run, k)
+        out[f"R_cap@{k}"] = recall_cap_at_k(qrels, run, k)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Array-based metrics over a single query's candidate list (rerank eval).
+# rels: binary/graded relevance in *ranked order* (downstream of a sort).
+# --------------------------------------------------------------------------
+
+
+def average_precision(rels: np.ndarray) -> float:
+    rels = np.asarray(rels) > 0
+    if rels.sum() == 0:
+        return 0.0
+    hits = np.cumsum(rels)
+    precisions = hits / (np.arange(len(rels)) + 1)
+    return float((precisions * rels).sum() / rels.sum())
+
+
+def r_precision(rels: np.ndarray) -> float:
+    rels = np.asarray(rels) > 0
+    r = int(rels.sum())
+    if r == 0:
+        return 0.0
+    return float(rels[:r].sum() / r)
+
+
+def reciprocal_rank(rels: np.ndarray, k: int | None = None) -> float:
+    rels = np.asarray(rels) > 0
+    if k is not None:
+        rels = rels[:k]
+    nz = np.flatnonzero(rels)
+    return float(1.0 / (nz[0] + 1)) if len(nz) else 0.0
+
+
+def ndcg_from_ranked(rels: np.ndarray, k: int | None = None) -> float:
+    rels = np.asarray(rels, dtype=np.float64)
+    if k is not None:
+        rels = rels[:k]
+    discounts = 1.0 / np.log2(np.arange(len(rels)) + 2)
+    dcg = float(((2**rels - 1) * discounts).sum())
+    ideal = np.sort(rels)[::-1]
+    idcg = float(((2**ideal - 1) * discounts).sum())
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def rerank_metrics(ranked_rels: Sequence[np.ndarray]) -> dict:
+    """MAP / RPrec / nDCG / MRR / MRR@10 macro-averaged over queries.
+
+    Parity: the accumulator loop in reference ``tevatron/driver/eval.py`` +
+    ``tevatron/utils/metrics.py:57-92``.
+    """
+    agg = {"MAP": 0.0, "RPrec": 0.0, "NDCG": 0.0, "MRR": 0.0, "MRR@10": 0.0}
+    n = 0
+    for rels in ranked_rels:
+        n += 1
+        agg["MAP"] += average_precision(rels)
+        agg["RPrec"] += r_precision(rels)
+        agg["NDCG"] += ndcg_from_ranked(rels)
+        agg["MRR"] += reciprocal_rank(rels)
+        agg["MRR@10"] += reciprocal_rank(rels, k=10)
+    return {k: v / max(n, 1) for k, v in agg.items()}
