@@ -1,0 +1,106 @@
+"""HF interop: numerical parity of converted weights against HF torch forward.
+
+A randomly-initialized HF DistilBertForMaskedLM / BertForMaskedLM is saved,
+converted to the dhr_tpu param tree, and both models run the same batch; the
+hidden states and MLM logits must agree to f32 tolerance.  This pins the
+entire weight mapping (attention head splitting, LayerNorm naming, tied
+embedding projection, GELU variant) to HF ground truth.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from dhr_tpu.models.hf_io import (  # noqa: E402
+    convert_hf_mlm_to_params,
+    convert_params_to_hf_mlm,
+    encoder_config_from_hf,
+    load_hf_state_dict,
+)
+from dhr_tpu.models.transformer import EncoderConfig, EncoderWithMLM  # noqa: E402
+
+
+def tiny_distilbert_dir(tmp_path):
+    cfg = transformers.DistilBertConfig(
+        vocab_size=99, dim=32, n_layers=2, n_heads=2, hidden_dim=64,
+        max_position_embeddings=48, dropout=0.0, attention_dropout=0.0,
+        activation="gelu",
+    )
+    model = transformers.DistilBertForMaskedLM(cfg)
+    model.eval()
+    d = tmp_path / "distilbert"
+    model.save_pretrained(str(d), safe_serialization=False)
+    return str(d), model
+
+
+def tiny_bert_dir(tmp_path):
+    cfg = transformers.BertConfig(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=48, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, type_vocab_size=2,
+    )
+    model = transformers.BertForMaskedLM(cfg)
+    model.eval()
+    d = tmp_path / "bert"
+    model.save_pretrained(str(d), safe_serialization=False)
+    return str(d), model
+
+
+def run_parity(model_dir, hf_model, rng):
+    cfg = encoder_config_from_hf(model_dir, dtype=jnp.float32)
+    sd = load_hf_state_dict(model_dir)
+    params = {"params": convert_hf_mlm_to_params(sd, cfg)}
+
+    B, L = 2, 10
+    ids = rng.integers(0, cfg.vocab_size, (B, L))
+    mask = np.ones((B, L), np.int64)
+    mask[:, -3:] = 0
+
+    with torch.no_grad():
+        out = hf_model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            output_hidden_states=True,
+        )
+    t_hidden = out.hidden_states[-1].numpy()
+    t_logits = out.logits.numpy()
+
+    model = EncoderWithMLM(cfg)
+    j_hidden, j_logits = model.apply(
+        params, jnp.asarray(ids), jnp.asarray(mask)
+    )
+    # compare only unmasked positions: HF distilbert masks attention but
+    # masked rows still produce (meaningless) outputs in both frameworks
+    np.testing.assert_allclose(
+        np.asarray(j_hidden)[:, :7], t_hidden[:, :7], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_logits)[:, :7], t_logits[:, :7], atol=2e-3
+    )
+    return cfg, params
+
+
+def test_distilbert_forward_parity(tmp_path, rng):
+    d, hf_model = tiny_distilbert_dir(tmp_path)
+    run_parity(d, hf_model, rng)
+
+
+def test_bert_forward_parity(tmp_path, rng):
+    d, hf_model = tiny_bert_dir(tmp_path)
+    run_parity(d, hf_model, rng)
+
+
+def test_roundtrip_export(tmp_path, rng):
+    d, hf_model = tiny_distilbert_dir(tmp_path)
+    cfg = encoder_config_from_hf(d, dtype=jnp.float32)
+    sd = load_hf_state_dict(d)
+    params = convert_hf_mlm_to_params(sd, cfg)
+    back = convert_params_to_hf_mlm(params, cfg, arch="distilbert")
+    orig = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    for k, v in back.items():
+        np.testing.assert_allclose(v, orig[k], atol=1e-6, err_msg=k)
