@@ -1,0 +1,23 @@
+"""Device mesh and sharding helpers."""
+
+from dhr_tpu.parallel.mesh import (
+    DATA_AXIS,
+    INDEX_AXIS,
+    make_mesh,
+    pad_rows_to_multiple,
+    replicate,
+    replicated,
+    row_sharded,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "INDEX_AXIS",
+    "make_mesh",
+    "pad_rows_to_multiple",
+    "replicate",
+    "replicated",
+    "row_sharded",
+    "shard_batch",
+]

@@ -1,0 +1,66 @@
+"""Device mesh construction and sharding helpers.
+
+One mesh abstraction serves both subsystems:
+
+- training: batch sharded over the ``data`` axis, params replicated —
+  the global in-batch-negative scores are computed under ``jit`` and XLA
+  lowers the cross-device gathers onto ICI (replacing the reference's NCCL
+  ``all_gather``, SURVEY.md section 2.11);
+- retrieval: index rows sharded over the ``index`` axis; per-shard top-k is
+  merged with an all-gather (replacing the reference's file-per-shard merge
+  scripts).
+
+For multi-host topologies, create the mesh with the DCN (host) axis leading
+so that the inner, collective-heavy axis rides ICI.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+INDEX_AXIS = "index"
+
+
+def make_mesh(devices=None, axis: str = DATA_AXIS) -> Mesh:
+    """A 1-D mesh over all (or the given) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh, axis: str | None = None) -> NamedSharding:
+    """First-dim sharding over the mesh axis (batch rows / index rows)."""
+    axis = axis or mesh.axis_names[0]
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str | None = None):
+    """Device-put a (nested) host batch with rows sharded over the mesh."""
+    sharding = row_sharded(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_rows_to_multiple(array, multiple: int):
+    """Pad leading dim to a device-count multiple; returns (padded, n_real).
+
+    The encode path needs every batch to fill all mesh rows (the reference
+    pads the final pmap batch the same way, driver/jax_encode.py:68-78).
+    """
+    n = array.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return array, n
+    widths = [(0, pad)] + [(0, 0)] * (array.ndim - 1)
+    return np.pad(np.asarray(array), widths), n

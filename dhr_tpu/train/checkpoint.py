@@ -1,0 +1,137 @@
+"""Orbax checkpointing of the full train state + HF-compatible export.
+
+Fixes the reference's gaps: its torch path checkpoints model weights only via
+HF Trainer (no optimizer state), its JAX path saves once at the end of
+training, and resume is an unimplemented TODO (reference driver/train.py:182,
+driver/jax_train.py:284-292).  Here the complete ``TrainState`` (params,
+optimizer state, step) is checkpointed and restorable mid-run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from dhr_tpu.train.state import TrainState
+
+
+def _state_dir(ckpt_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+
+
+def save_train_state(ckpt_dir: str, state: TrainState) -> str:
+    """Save params/opt_state/step under ``ckpt_dir/step_XXXXXXXX``."""
+    step = int(jax.device_get(state.step))
+    path = _state_dir(ckpt_dir, step)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "step": step,
+                "params": jax.device_get(state.params),
+                "opt_state": jax.device_get(state.opt_state),
+            },
+        )
+    return path
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(d.split("_")[1])
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and not d.endswith(".tmp")
+    ]
+    return max(steps) if steps else None
+
+
+def restore_train_state(
+    ckpt_dir: str, state: TrainState, step: int | None = None
+) -> TrainState:
+    """Restore into the (abstract or concrete) ``state`` template."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = _state_dir(ckpt_dir, step)
+    template = {
+        "step": int(jax.device_get(state.step)),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, template)
+    return state.replace(
+        step=jax.numpy.asarray(restored["step"], jax.numpy.int32),
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+    )
+
+
+# --------------------------------------------------------------------------
+# HF-compatible model export (reference checkpoint layout, DHR/modeling.py:
+# 430-441: encoder save_pretrained + query_model/passage_model subdirs when
+# untied + pooler/TermWeightTrans sidecars)
+# --------------------------------------------------------------------------
+
+
+def export_hf_checkpoint(
+    out_dir: str,
+    params: dict,
+    retriever_cfg: Any,
+    hf_config: dict | None = None,
+    arch: str = "distilbert",
+) -> None:
+    from dhr_tpu.models.hf_io import convert_params_to_hf_mlm, save_sidecar_head
+
+    os.makedirs(out_dir, exist_ok=True)
+    p = params["params"] if "params" in params else params
+    enc_q = p["encoder_q"]
+    enc_p = p.get("encoder_p")
+    untied = enc_p is not None
+
+    def write_encoder(tree, d):
+        os.makedirs(d, exist_ok=True)
+        backbone = tree["backbone"]
+        if "encoder" not in backbone:  # TransformerEncoder without MLM head
+            backbone = {"encoder": backbone, "mlm": None}
+        if backbone["mlm"] is None:
+            raise ValueError("export requires an MLM-headed encoder")
+        sd = convert_params_to_hf_mlm(backbone, retriever_cfg.encoder, arch)
+        import torch
+
+        torch.save(
+            {k: torch.from_numpy(np.asarray(v, np.float32)) for k, v in sd.items()},
+            os.path.join(d, "pytorch_model.bin"),
+        )
+        if hf_config is not None:
+            with open(os.path.join(d, "config.json"), "w") as f:
+                json.dump(hf_config, f, indent=1)
+
+    if untied:
+        write_encoder(enc_q, os.path.join(out_dir, "query_model"))
+        write_encoder(enc_p, os.path.join(out_dir, "passage_model"))
+    else:
+        write_encoder(enc_q, out_dir)
+
+    hid = retriever_cfg.encoder.hidden_size
+    if "term_weight" in enc_q:
+        save_sidecar_head(
+            out_dir, "TermWeightTrans",
+            enc_q["term_weight"]["linear"],
+            enc_p["term_weight"]["linear"] if untied else None,
+            input_dim=hid, output_dim=1,
+        )
+    if "pooler" in enc_q:
+        save_sidecar_head(
+            out_dir, "pooler",
+            enc_q["pooler"]["linear"],
+            enc_p["pooler"]["linear"] if untied else None,
+            input_dim=hid, output_dim=retriever_cfg.projection_dim,
+        )

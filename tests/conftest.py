@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the axon TPU backend and resets
+# jax_platforms to "axon,cpu"; force pure-CPU for the virtual 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the test box has a single CPU core, so
 # recompiling every jitted op per run dominates wall-clock without this.
