@@ -1,0 +1,165 @@
+"""Corpus/query encoding: jitted forward + in-graph densify/aggregate + pack.
+
+Replaces the reference's single-GPU encode driver (driver/encode.py:27-204)
+with one compiled program per role that runs the transformer forward, the
+head-specific reduction (densify for DHR/DLR, aggregate+merge for AGG), and
+the dtype packing **on device**, streaming back only the packed planes:
+
+- dense:   values (B, D) f16
+- agg:     values (B, agg_dim + cls_dim) f16
+- dhr/dlr: values (B, dlr_out_dim [+ cls_dim]) f16  ‖  indices (B, dlr) u8
+
+Logical output format matches the reference's embedding shards
+(encode.py:155-195) so parity can be checked array-for-array; the container
+is :class:`dhr_tpu.retrieval.index.PackedIndex`.
+
+Batches are padded to a fixed shape (and to the mesh row multiple) so any
+corpus size reuses one compiled program — the reference pads only its last
+pmap batch (driver/jax_encode.py:68-78); here every batch is uniform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Iterable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
+from dhr_tpu.ops import aggregate, densify, merge_reps
+from dhr_tpu.parallel import row_sharded
+from dhr_tpu.retrieval.index import PackedIndex
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodeConfig:
+    batch_size: int = 32
+    remove_dims: int = 570
+    index_dtype: str = "uint8"  # argmax plane dtype (u8 fits 39 folds)
+
+
+class Encoder:
+    """Batched corpus/query encoder for one (model, params) pair."""
+
+    def __init__(
+        self,
+        model: BiEncoder,
+        params,
+        cfg: RetrieverConfig,
+        encode_cfg: EncodeConfig = EncodeConfig(),
+        mesh=None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.encode_cfg = encode_cfg
+        self.mesh = mesh
+        if mesh is not None:
+            params = jax.device_put(
+                params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            )
+        self.params = params
+        self._encode_query = self._build(role="query")
+        self._encode_passage = self._build(role="passage")
+
+    def _build(self, role: str):
+        cfg = self.cfg
+        ecfg = self.encode_cfg
+        is_query = role == "query"
+
+        def run(params, input_ids, attention_mask):
+            batch = {"input_ids": input_ids, "attention_mask": attention_mask}
+            q_reps, p_reps = self.model.apply(
+                {"params": params},
+                query=batch if is_query else None,
+                passage=None if is_query else batch,
+                deterministic=True,
+            )
+            reps = q_reps if is_query else p_reps
+            if cfg.model_type == "dense":
+                return reps.dense.astype(jnp.float16), None
+            if cfg.model_type == "agg":
+                tok = aggregate(
+                    reps.lexical, cfg.agg_dim, full=not cfg.semi_aggregate
+                )
+                if reps.semantic is not None:
+                    tok = merge_reps(tok, reps.semantic)
+                return tok.astype(jnp.float16), None
+            if cfg.model_type in ("dhr", "dlr"):
+                vals, idxs = densify(
+                    reps.lexical, cfg.dlr_out_dim, ecfg.remove_dims
+                )
+                if reps.semantic is not None and cfg.combine_cls:
+                    vals = jnp.concatenate(
+                        [vals, reps.semantic.astype(vals.dtype)], axis=-1
+                    )
+                return vals.astype(jnp.float16), idxs.astype(jnp.uint8)
+            raise ValueError(
+                f"encode does not support model_type={cfg.model_type}"
+            )
+
+        jitted = jax.jit(run)
+
+        def encode(input_ids, attention_mask):
+            return jitted(self.params, input_ids, attention_mask)
+
+        return encode
+
+    @property
+    def lex_dim(self) -> int:
+        cfg = self.cfg
+        if cfg.model_type in ("dhr", "dlr"):
+            return cfg.dlr_out_dim
+        if cfg.model_type == "agg":
+            return cfg.agg_dim
+        return -1  # dense: whole vector is "lexical" for index purposes
+
+    def _run_batches(self, encode_fn, batches) -> tuple[np.ndarray, np.ndarray | None, list]:
+        bs = self.encode_cfg.batch_size
+        values_out, indices_out, ids_out = [], [], []
+        for batch in batches:
+            ids = list(batch["ids"])
+            n = len(ids)
+            input_ids = np.asarray(batch["input_ids"])
+            mask = np.asarray(batch["attention_mask"])
+            pad = bs - n
+            if pad > 0:
+                input_ids = np.pad(input_ids, [(0, pad), (0, 0)])
+                mask = np.pad(mask, [(0, pad), (0, 0)])
+            vals, idxs = encode_fn(jnp.asarray(input_ids), jnp.asarray(mask))
+            values_out.append(np.asarray(vals)[:n])
+            if idxs is not None:
+                indices_out.append(np.asarray(idxs)[:n])
+            ids_out.extend(ids)
+        values = np.concatenate(values_out, axis=0)
+        indices = np.concatenate(indices_out, axis=0) if indices_out else None
+        return values, indices, ids_out
+
+    def encode_corpus(self, batches: Iterable[dict]) -> PackedIndex:
+        """Encode an iterable of ``{ids, input_ids, attention_mask}`` batches."""
+        values, indices, ids = self._run_batches(self._encode_passage, batches)
+        lex = self.lex_dim if self.lex_dim > 0 else values.shape[1]
+        return PackedIndex(
+            values=values,
+            indices=indices,
+            docids=np.asarray([str(i) for i in ids], dtype=object),
+            lex_dim=lex,
+        )
+
+    def encode_queries(self, batches: Iterable[dict]):
+        """Returns ``(values, indices_or_None, qids)`` (reference query pickle)."""
+        return self._run_batches(self._encode_query, batches)
+
+
+def iter_batches(ids, input_ids, attention_mask, batch_size: int):
+    """Slice pre-tokenized arrays into encode batches."""
+    n = len(ids)
+    for start in range(0, n, batch_size):
+        sl = slice(start, min(start + batch_size, n))
+        yield {
+            "ids": ids[sl],
+            "input_ids": input_ids[sl],
+            "attention_mask": attention_mask[sl],
+        }

@@ -1,0 +1,279 @@
+"""The GIP/IP search engine over a mesh-sharded index.
+
+Semantics parity with the reference's scoring engine
+(retrieval/gip_retrieval.py:60-231) under a different, TPU-shaped execution
+plan:
+
+===========================  ==============================================
+reference (torch GPU)         dhr_tpu (XLA/TPU)
+===========================  ==============================================
+per-query python loop         fixed-size query batches, one compiled program
+column gather of important    dim-major planes: each important dim is one
+dims from row-major arrays     contiguous (N,)-row DMA, streamed by lax.scan
+(qi==pi)*pv elementwise x d   same gate fused into the scan accumulate
+torch.topk over full shard    blockwise top-k (per 16k block, then merge)
+process-per-shard + TREC      shard_map over the mesh ``index`` axis:
+merge scripts                  local top-k -> all_gather -> global top-k
+faiss PQ int8 candidates      per-dim int8 value planes, scales folded into
+                               the query (bf16 x int8 stays in HBM as int8)
+===========================  ==============================================
+
+Mode map (gip_retrieval.py flags -> SearchConfig):
+- ``--brute_force``            -> mode="gip", theta=0
+- ``--theta t``                -> mode="gip", theta=t  (thresholded full-dim
+                                   GIP == the reference's important-dims
+                                   gather, gip_retrieval.py:130-136)
+- ``--IP``                     -> mode="ip" (candidate gen by inner product)
+- ``--rerank --agip_topk K``   -> rerank=True, agip_topk=K; the rerank uses
+                                   the *unthresholded* query like the
+                                   reference (gip_retrieval.py:144-148)
+- ``--lamda``                  -> lam, query CLS tail scaling at load
+                                   (gip_retrieval.py:281-283)
+- faiss PQ int8 index          -> per-dim int8 value planes
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dhr_tpu.ops.topk import blockwise_topk, merge_topk
+from dhr_tpu.retrieval.index import DeviceIndex
+
+INDEX_AXIS = "index"
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    topk: int = 1000
+    mode: str = "gip"            # 'gip' | 'ip'
+    theta: float = 0.0           # 0 => brute force GIP
+    rerank: bool = False
+    agip_topk: int = 10000
+    lam: float = 1.0             # query CLS weight
+    max_important_dims: int = 128  # theta-pass scan length (static)
+    query_batch: int = 64
+    topk_block: int = 16384
+
+
+# --------------------------------------------------------------------------
+# device-side kernels
+# --------------------------------------------------------------------------
+
+
+def _partial_gip_scores(qv, qi, values_T, indices_T, lex_dim, n_dims):
+    """Streamed partial GIP: scan over each query's top ``n_dims`` dims.
+
+    qv: (B, D) f32 — theta-thresholded, CLS- and int8-scale-folded.
+    qi: (B, D) i32 — index plane padded with 1 over CLS dims.
+    values_T: (D, N) dim-major, indices_T: (lex_dim, N) dim-major.
+    Returns (B, N) f32.  Each scan step DMAs one contiguous (N,) dim row per
+    query — the bandwidth-optimal access the reference's column gather can't
+    achieve on a row-major array.
+    """
+    imp_val, imp_dim = jax.lax.top_k(qv, n_dims)  # (B, I)
+    imp_gate = jnp.take_along_axis(qi, imp_dim, axis=-1)  # (B, I)
+    n_rows = values_T.shape[1]
+
+    def per_step(carry, args):
+        vals, dims, gates = args  # (B,) each
+        row_v = values_T[dims]                       # (B, N) row gather
+        safe = jnp.minimum(dims, lex_dim - 1)
+        row_i = indices_T[safe]                      # (B, N)
+        gate = jnp.where(
+            (dims < lex_dim)[:, None], row_i == gates[:, None], True
+        )
+        contrib = jnp.where(gate, row_v.astype(jnp.float32), 0.0)
+        return carry + contrib * vals[:, None], None
+
+    init = jnp.zeros((qv.shape[0], n_rows), jnp.float32)
+    scores, _ = jax.lax.scan(per_step, init, (imp_val.T, imp_dim.T, imp_gate.T))
+    return scores
+
+
+def _partial_ip_scores(qv, values_T):
+    """(B, D) x (D, N) -> (B, N): one MXU matmul (IP approximation mode)."""
+    return jnp.dot(
+        qv.astype(jnp.bfloat16), values_T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _rerank_gip(qv, qi, cand_values, cand_indices, lex_dim):
+    """Exact GIP over gathered candidates: (B, D) vs (B, K, D) -> (B, K)."""
+    cand_vals = cand_values.astype(jnp.float32)
+    gate = cand_indices == qi[:, None, :lex_dim]
+    lex = jnp.sum(
+        jnp.where(gate, cand_vals[..., :lex_dim] * qv[:, None, :lex_dim], 0.0),
+        axis=-1,
+    )
+    cls = jnp.sum(cand_vals[..., lex_dim:] * qv[:, None, lex_dim:], axis=-1)
+    return lex + cls
+
+
+# --------------------------------------------------------------------------
+# searcher
+# --------------------------------------------------------------------------
+
+
+class Searcher:
+    """Batched searcher over a :class:`DeviceIndex`.
+
+    Two jitted programs: (1) partial scores + per-shard top-k + cross-shard
+    merge under ``shard_map``; (2) optional exact-GIP rerank over gathered
+    candidates (XLA lowers the cross-shard row gather itself).
+    """
+
+    def __init__(self, index: DeviceIndex, config: SearchConfig):
+        self.index = index
+        self.config = config
+        self.mesh = index.mesh
+        self._has_gip = index.indices_T is not None and config.mode == "gip"
+        self._stage1 = self._build_stage1()
+        self._stage2 = self._build_stage2()
+
+    def _build_stage1(self):
+        cfg, idx = self.config, self.index
+        has_gip = self._has_gip
+        n_total = idx.values_T.shape[1]
+        k1 = min(cfg.agip_topk if cfg.rerank else cfg.topk, n_total)
+        n_dims = (
+            idx.dim if cfg.theta == 0.0 else min(cfg.max_important_dims, idx.dim)
+        )
+
+        def local(qv, qi, values_T, indices_T, offset, n_local):
+            if has_gip:
+                scores = _partial_gip_scores(
+                    qv, qi, values_T, indices_T, idx.lex_dim, n_dims
+                )
+            else:
+                scores = _partial_ip_scores(qv, values_T)
+            vals, rows = blockwise_topk(scores, min(k1, n_local), cfg.topk_block)
+            return vals, rows + offset
+
+        arrays = (idx.values_T, idx.indices_T) if has_gip else (idx.values_T,)
+
+        if self.mesh is None or self.mesh.size == 1:
+            def run(qv, qi):
+                indices_T = arrays[1] if has_gip else None
+                return local(qv, qi, arrays[0], indices_T, 0, n_total)
+            return jax.jit(run)
+
+        mesh = self.mesh
+        n_dev = mesh.shape[INDEX_AXIS]
+        n_local = n_total // n_dev
+        in_specs = (P(), P()) + tuple(P(None, INDEX_AXIS) for _ in arrays)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=in_specs,
+            out_specs=(P(), P()), check_vma=False,
+        )
+        def sharded(qv, qi, *arrs):
+            values_T = arrs[0]
+            indices_T = arrs[1] if has_gip else None
+            shard_id = jax.lax.axis_index(INDEX_AXIS)
+            vals, rows = local(
+                qv, qi, values_T, indices_T, shard_id * n_local, n_local
+            )
+            all_vals = jax.lax.all_gather(vals, INDEX_AXIS, axis=-1, tiled=True)
+            all_rows = jax.lax.all_gather(rows, INDEX_AXIS, axis=-1, tiled=True)
+            return merge_topk(all_vals, all_rows, min(k1, all_vals.shape[-1]))
+
+        return jax.jit(lambda qv, qi: sharded(qv, qi, *arrays))
+
+    def _build_stage2(self):
+        cfg, idx = self.config, self.index
+        if not cfg.rerank or idx.indices is None:
+            return None
+
+        def rerank(qv, qi, cand_rows):
+            cand_values = jnp.take(idx.values, cand_rows, axis=0)
+            cand_indices = jnp.take(idx.indices, cand_rows, axis=0)
+            scores = _rerank_gip(
+                qv, qi, cand_values, cand_indices.astype(jnp.int32), idx.lex_dim
+            )
+            k = min(cfg.topk, scores.shape[-1])
+            vals, pos = jax.lax.top_k(scores, k)
+            rows = jnp.take_along_axis(cand_rows, pos, axis=-1)
+            return vals, rows
+
+        return jax.jit(rerank)
+
+    # -- host API --------------------------------------------------------
+
+    def prepare_queries(self, query_values, query_indices):
+        """Lambda CLS scaling, int8 scale folding, theta threshold, padding.
+
+        Returns ``(qv_full, qv_stage1, qi)``: stage 1 sees the thresholded
+        values, the rerank sees the full values (reference behavior).
+        """
+        cfg = self.config
+        qv = np.asarray(query_values, np.float32).copy()
+        lex = self.index.lex_dim
+        if qv.shape[1] > lex and cfg.lam != 1.0:
+            qv[:, lex:] *= cfg.lam
+        if query_indices is None:
+            qi = np.ones(qv.shape, np.int32)
+        else:
+            qi = np.asarray(query_indices, np.int32)
+            if qi.shape[1] < qv.shape[1]:
+                pad = np.ones((qi.shape[0], qv.shape[1] - qi.shape[1]), np.int32)
+                qi = np.concatenate([qi, pad], axis=1)
+        # theta thresholds the (lambda-scaled) query values, like the
+        # reference's (query_emb > theta) gather; int8 scale folding happens
+        # after so the threshold semantics match the f16 index exactly.
+        if cfg.theta > 0:
+            qv_stage1 = np.where(qv > cfg.theta, qv, 0.0).astype(np.float32)
+        else:
+            qv_stage1 = qv
+        if self.index.value_scales is not None:
+            scales = np.asarray(self.index.value_scales)[None, :]
+            qv = qv * scales
+            qv_stage1 = qv_stage1 * scales
+        return qv, qv_stage1, qi
+
+    def search(self, query_values, query_indices=None):
+        """Search a full query set; returns (scores, row_ids) as numpy."""
+        cfg = self.config
+        qv_full, qv1, qi = self.prepare_queries(query_values, query_indices)
+        B = qv_full.shape[0]
+        bs = cfg.query_batch
+        out_scores, out_rows = [], []
+        for start in range(0, B, bs):
+            cf = qv_full[start:start + bs]
+            c1 = qv1[start:start + bs]
+            ci = qi[start:start + bs]
+            pad = bs - cf.shape[0]
+            if pad:
+                cf = np.pad(cf, [(0, pad), (0, 0)])
+                c1 = np.pad(c1, [(0, pad), (0, 0)])
+                ci = np.pad(ci, [(0, pad), (0, 0)], constant_values=1)
+            vals, rows = self._stage1(jnp.asarray(c1), jnp.asarray(ci))
+            if self._stage2 is not None:
+                vals, rows = self._stage2(
+                    jnp.asarray(cf), jnp.asarray(ci), rows
+                )
+            vals, rows = np.asarray(vals), np.asarray(rows)
+            if pad:
+                vals, rows = vals[:-pad], rows[:-pad]
+            out_scores.append(vals)
+            out_rows.append(rows)
+        return np.concatenate(out_scores, axis=0), np.concatenate(out_rows, axis=0)
+
+    def search_run(self, qids, query_values, query_indices=None):
+        """Search returning TREC-ready ``{qid: [docid...]}, {qid: [score...]}``."""
+        scores, rows = self.search(query_values, query_indices)
+        docids = self.index.docids
+        results, out_scores = {}, {}
+        n = self.index.num_rows
+        for i, qid in enumerate(qids):
+            keep = rows[i] < n
+            results[str(qid)] = [str(docids[j]) for j in rows[i][keep]]
+            out_scores[str(qid)] = [float(x) for x in scores[i][keep]]
+        return results, out_scores

@@ -1,0 +1,196 @@
+"""Search engine tests against a brute-force NumPy oracle."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dhr_tpu.parallel import make_mesh
+from dhr_tpu.retrieval import DeviceIndex, PackedIndex, SearchConfig, Searcher
+
+
+def bf16_exact(x):
+    """Round to values exactly representable in bf16 (device dtype) so the
+    f16-stored oracle and the bf16 device index agree bit-for-bit."""
+    return np.asarray(
+        jnp.asarray(x, jnp.bfloat16).astype(jnp.float32)
+    ).astype(np.float16)
+
+
+def build_corpus(rng, N=500, lex=16, cls=4, k=5):
+    pv = bf16_exact(rng.random((N, lex)))
+    pc = bf16_exact(rng.random((N, cls)))
+    values = np.concatenate([pv, pc], axis=1)
+    indices = rng.integers(0, k, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    return PackedIndex(values, indices, docids, lex_dim=lex)
+
+
+def build_queries(rng, B=7, lex=16, cls=4, k=5):
+    qv = np.concatenate(
+        [rng.random((B, lex)), rng.random((B, cls))], axis=1
+    ).astype(np.float32)
+    qi = rng.integers(0, k, (B, lex)).astype(np.int32)
+    return qv, qi
+
+
+def gip_oracle_scores(qv, qi, packed, theta=0.0, lam=1.0):
+    """Reference-semantics scores: lambda CLS scale, theta gather, gate."""
+    lex = packed.lex_dim
+    qv = qv.astype(np.float64).copy()
+    qv[:, lex:] *= lam
+    pv = packed.values.astype(np.float64)
+    pi = packed.indices
+    B, N = qv.shape[0], packed.num_rows
+    out = np.zeros((B, N))
+    for b in range(B):
+        active = qv[b] > theta if theta > 0 else np.ones_like(qv[b], bool)
+        for n in range(N):
+            s = 0.0
+            for j in range(qv.shape[1]):
+                if not active[j]:
+                    continue
+                if j >= lex or qi[b, j] == pi[n, j]:
+                    s += qv[b, j] * pv[n, j]
+            out[b, n] = s
+    return out
+
+
+def topk_oracle(scores, k):
+    order = np.argsort(-scores, axis=-1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, order, axis=-1), order
+
+
+def test_brute_force_gip_matches_oracle(rng):
+    packed = build_corpus(rng, N=200)
+    qv, qi = build_queries(rng, B=5)
+    idx = DeviceIndex.from_packed(packed)
+    s = Searcher(idx, SearchConfig(topk=10, mode="gip", theta=0.0,
+                                   query_batch=8))
+    scores, rows = s.search(qv, qi)
+    want = gip_oracle_scores(qv, qi, packed)
+    wv, wi = topk_oracle(want, 10)
+    np.testing.assert_array_equal(rows, wi)
+    np.testing.assert_allclose(scores, wv, rtol=2e-3)
+
+
+def test_theta_approx_with_rerank_matches_oracle(rng):
+    """theta-pass candidates + exact rerank == reference two-stage search."""
+    packed = build_corpus(rng, N=300)
+    qv, qi = build_queries(rng, B=4)
+    idx = DeviceIndex.from_packed(packed)
+    theta, agip, k = 0.5, 50, 10
+    s = Searcher(idx, SearchConfig(topk=k, mode="gip", theta=theta,
+                                   rerank=True, agip_topk=agip,
+                                   max_important_dims=20, query_batch=4))
+    scores, rows = s.search(qv, qi)
+    partial = gip_oracle_scores(qv, qi, packed, theta=theta)
+    full = gip_oracle_scores(qv, qi, packed)
+    for b in range(4):
+        cand = np.argsort(-partial[b], kind="stable")[:agip]
+        re = full[b, cand]
+        order = cand[np.argsort(-re, kind="stable")[:k]]
+        np.testing.assert_array_equal(rows[b], order)
+        np.testing.assert_allclose(scores[b], np.sort(re)[::-1][:k], rtol=2e-3)
+
+
+def test_ip_mode_matches_matmul(rng):
+    packed = build_corpus(rng, N=150)
+    qv, qi = build_queries(rng, B=3)
+    idx = DeviceIndex.from_packed(packed)
+    s = Searcher(idx, SearchConfig(topk=5, mode="ip", query_batch=4))
+    scores, rows = s.search(qv, qi)
+    want = qv.astype(np.float64) @ packed.values.astype(np.float64).T
+    _, wi = topk_oracle(want, 5)
+    np.testing.assert_array_equal(rows, wi)
+
+
+def test_sharded_search_equals_single_device(rng, eight_devices):
+    packed = build_corpus(rng, N=400)
+    qv, qi = build_queries(rng, B=6)
+    cfg = SearchConfig(topk=20, mode="gip", theta=0.3, rerank=True,
+                       agip_topk=64, max_important_dims=16, query_batch=8)
+    single = Searcher(DeviceIndex.from_packed(packed), cfg)
+    mesh = make_mesh(eight_devices, axis="index")
+    sharded = Searcher(DeviceIndex.from_packed(packed, mesh=mesh), cfg)
+    s1, r1 = single.search(qv, qi)
+    s2, r2 = sharded.search(qv, qi)
+    np.testing.assert_allclose(s1, s2, rtol=1e-3)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_quantized_index_close_to_exact(rng):
+    packed = build_corpus(rng, N=300)
+    qv, qi = build_queries(rng, B=4)
+    exact = Searcher(DeviceIndex.from_packed(packed),
+                     SearchConfig(topk=20, mode="gip", query_batch=4))
+    quant = Searcher(DeviceIndex.from_packed(packed.quantize()),
+                     SearchConfig(topk=20, mode="gip", query_batch=4))
+    s1, r1 = exact.search(qv, qi)
+    s2, r2 = quant.search(qv, qi)
+    # top-1 should survive 8-bit quantization on random data
+    assert (r1[:, 0] == r2[:, 0]).mean() >= 0.75
+    np.testing.assert_allclose(s1[:, 0], s2[:, 0], rtol=0.05)
+
+
+def test_dense_index_without_indices(rng):
+    N, D = 100, 12
+    values = rng.random((N, D)).astype(np.float16)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, None, docids, lex_dim=D)
+    s = Searcher(DeviceIndex.from_packed(packed),
+                 SearchConfig(topk=7, mode="ip", query_batch=4))
+    qv = rng.random((3, D)).astype(np.float32)
+    scores, rows = s.search(qv)
+    want = qv.astype(np.float64) @ values.astype(np.float64).T
+    _, wi = topk_oracle(want, 7)
+    np.testing.assert_array_equal(rows, wi)
+
+
+def test_search_run_and_trec(rng, tmp_path):
+    from dhr_tpu.retrieval import read_run, write_run
+
+    packed = build_corpus(rng, N=64)
+    qv, qi = build_queries(rng, B=2)
+    s = Searcher(DeviceIndex.from_packed(packed),
+                 SearchConfig(topk=5, query_batch=2))
+    results, scores = s.search_run(["q0", "q1"], qv, qi)
+    assert set(results) == {"q0", "q1"}
+    assert len(results["q0"]) == 5
+    p = str(tmp_path / "run.trec")
+    write_run(p, results, scores)
+    assert len(read_run(p)["q0"]) == 5
+
+
+def test_index_save_load_roundtrip(rng, tmp_path):
+    packed = build_corpus(rng, N=32)
+    path = str(tmp_path / "index.npz")
+    packed.save(path)
+    loaded = PackedIndex.load(path)
+    np.testing.assert_array_equal(loaded.values, packed.values)
+    np.testing.assert_array_equal(loaded.indices, packed.indices)
+    assert list(loaded.docids) == list(packed.docids)
+    assert loaded.lex_dim == packed.lex_dim
+
+
+def test_reference_pickle_ingestion(rng, tmp_path):
+    import pickle
+
+    packed = build_corpus(rng, N=16)
+    p = str(tmp_path / "corpus.split00.pt")
+    with open(p, "wb") as f:
+        pickle.dump(
+            [packed.values, packed.indices, [str(d) for d in packed.docids]], f
+        )
+    loaded = PackedIndex.load_reference_pickle(p, lex_dim=16)
+    np.testing.assert_array_equal(loaded.values, packed.values)
+    merged = PackedIndex.merge_glob(str(tmp_path / "*.pt"), lex_dim=16)
+    assert merged.num_rows == 16
+
+
+def test_merge_shards(rng):
+    a = build_corpus(rng, N=10)
+    b = build_corpus(rng, N=14)
+    m = PackedIndex.merge([a, b])
+    assert m.num_rows == 24
+    np.testing.assert_array_equal(m.values[:10], a.values)
+    np.testing.assert_array_equal(m.values[10:], b.values)
