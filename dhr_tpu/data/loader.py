@@ -1,0 +1,115 @@
+"""Train batch iteration with background prefetch.
+
+Replaces the reference's torch DataLoader workers + flax ``prefetch_to_device``
+(driver/jax_train.py:256-260) with a thread that builds fixed-shape numpy
+batches ahead of the train loop; host collation overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from collections.abc import Iterator
+
+import numpy as np
+
+from dhr_tpu.data.collate import collate_train
+from dhr_tpu.data.sampling import (
+    SamplingConfig,
+    TASBSampler,
+    sample_kd_example,
+    sample_train_example,
+)
+
+
+class TrainLoader:
+    """Epoch-based loader over train groups.
+
+    ``kd=True`` draws margin-KD examples from ``bin_pairs`` (the batch then
+    carries ``teacher_scores``); ``tasb`` supplies a :class:`TASBSampler` for
+    topic-aware batches instead of permutation order.
+    """
+
+    def __init__(
+        self,
+        groups: list[dict],
+        cfg: SamplingConfig,
+        batch_size: int,
+        corpus=None,
+        kd: bool = False,
+        tasb: TASBSampler | None = None,
+        pad_id: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 4,
+    ):
+        self.groups = groups
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.corpus = corpus
+        self.kd = kd
+        self.tasb = tasb
+        self.pad_id = pad_id
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.global_step = 0
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.groups) // self.batch_size
+        if not self.drop_last and len(self.groups) % self.batch_size:
+            n += 1
+        return n
+
+    def _make_example(self, item: int, epoch: int, rng: random.Random):
+        group = self.groups[item]
+        if self.kd:
+            return sample_kd_example(group, self.cfg, rng, self.corpus)
+        return sample_train_example(
+            group, item, epoch, self.cfg, rng, self.corpus
+        )
+
+    def _epoch_batches(self, epoch: int) -> Iterator[dict]:
+        rng = random.Random(self.cfg.seed + epoch)
+        if self.tasb is not None:
+            for _ in range(self.steps_per_epoch()):
+                items = self.tasb.batch_indices(self.global_step,
+                                                self.batch_size)
+                yield self._collate(items, epoch, rng)
+                self.global_step += 1
+        else:
+            order = np.random.default_rng(self.cfg.seed + epoch).permutation(
+                len(self.groups)
+            )
+            for start in range(0, len(order), self.batch_size):
+                items = order[start: start + self.batch_size].tolist()
+                if len(items) < self.batch_size and self.drop_last:
+                    break
+                yield self._collate(items, epoch, rng)
+                self.global_step += 1
+
+    def _collate(self, items, epoch, rng):
+        examples = [self._make_example(i, epoch, rng) for i in items]
+        return collate_train(
+            examples, self.cfg.q_max_len, self.cfg.p_max_len, self.pad_id
+        )
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        """Iterate one epoch with background prefetch."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._epoch_batches(epoch):
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
