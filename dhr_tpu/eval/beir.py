@@ -1,0 +1,119 @@
+"""BEIR zero-shot evaluation harness.
+
+Replaces the reference's BEIR wrapper stack (tevatron/datasets/beir/
+preprocess.py + encode_and_retrieval.py + sentence_bert.py — a
+SentenceTransformer-compatible shim around torch models feeding BEIR's
+``DenseRetrievalExactSearch``) with a direct pipeline over dhr_tpu's own
+encoder and searcher: load a local BEIR dataset directory, tokenize, encode
+corpus + queries, exact (or theta-approximate) search, then NDCG@10 /
+Recall@100 / R_cap@100 — the metrics the reference reports
+(encode_and_retrieval.py:66-71).
+
+Dataset layout expected (the standard BEIR unzip):
+  <dir>/corpus.jsonl   {"_id", "title", "text"}
+  <dir>/queries.jsonl  {"_id", "text"}
+  <dir>/qrels/<split>.tsv  query-id \t corpus-id \t score  (header allowed)
+
+The self-hit filter (drop docid == qid) is applied in the run writer as the
+reference does (gip_retrieval.py:340) — it matters on BEIR corpora where
+queries are drawn from the collection (e.g. arguana, quora).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+
+from dhr_tpu.data.collate import collate_encode
+from dhr_tpu.eval.metrics import ndcg_at_k, recall_at_k, recall_cap_at_k
+
+
+def load_beir_dir(path: str, split: str = "test"):
+    """Load a BEIR dataset directory -> (corpus, queries, qrels)."""
+    corpus = {}
+    with open(os.path.join(path, "corpus.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            text = " ".join(
+                p for p in [row.get("title", ""), row.get("text", "")] if p
+            )
+            corpus[str(row["_id"])] = text
+    queries = {}
+    with open(os.path.join(path, "queries.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            queries[str(row["_id"])] = row["text"]
+    qrels: dict[str, dict[str, int]] = {}
+    with open(os.path.join(path, "qrels", f"{split}.tsv"), newline="") as f:
+        for parts in csv.reader(f, delimiter="\t"):
+            if not parts or parts[0] in ("query-id", "qid"):
+                continue
+            qid, docid, rel = parts[0], parts[1], int(float(parts[2]))
+            qrels.setdefault(qid, {})[docid] = rel
+    queries = {q: t for q, t in queries.items() if q in qrels}
+    return corpus, queries, qrels
+
+
+def _tokenize_batches(items: dict[str, str], tokenizer, max_len: int,
+                      batch_size: int, cls_id: int | None):
+    ids = list(items.keys())
+    for start in range(0, len(ids), batch_size):
+        chunk = ids[start: start + batch_size]
+        toks = []
+        for i in chunk:
+            t = tokenizer.encode(
+                items[i], add_special_tokens=False,
+                max_length=max_len - (1 if cls_id is not None else 0),
+                truncation=True,
+            )
+            if cls_id is not None:
+                t = [cls_id] + t
+            toks.append(t or [0])
+        yield collate_encode(chunk, toks, max_len)
+
+
+def evaluate_beir(
+    encoder,
+    search_config,
+    dataset_dir: str,
+    tokenizer,
+    split: str = "test",
+    q_max_len: int = 512,
+    p_max_len: int = 512,
+    cls_id: int | None = 101,
+    mesh=None,
+    k_values=(10, 100),
+) -> dict:
+    """End-to-end BEIR eval for one dataset directory.
+
+    ``encoder`` is a :class:`dhr_tpu.encode.Encoder`; ``search_config`` a
+    :class:`dhr_tpu.retrieval.SearchConfig`.
+    """
+    from dhr_tpu.retrieval import DeviceIndex, Searcher
+
+    corpus, queries, qrels = load_beir_dir(dataset_dir, split)
+    bs = encoder.encode_cfg.batch_size
+    packed = encoder.encode_corpus(
+        _tokenize_batches(corpus, tokenizer, p_max_len, bs, cls_id)
+    )
+    qv, qi, qids = encoder.encode_queries(
+        _tokenize_batches(queries, tokenizer, q_max_len, bs, cls_id)
+    )
+    searcher = Searcher(DeviceIndex.from_packed(packed, mesh=mesh),
+                        search_config)
+    results, scores = searcher.search_run(qids, qv, qi)
+    # self-hit filter, then evaluate
+    run = {
+        qid: {
+            d: s for d, s in zip(results[qid], scores[qid]) if d != qid
+        }
+        for qid in results
+    }
+    out = {}
+    for k in k_values:
+        out[f"NDCG@{k}"] = ndcg_at_k(qrels, run, k)
+        out[f"Recall@{k}"] = recall_at_k(qrels, run, k)
+        out[f"R_cap@{k}"] = recall_cap_at_k(qrels, run, k)
+    out["num_queries"] = len(qids)
+    return out
