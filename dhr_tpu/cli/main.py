@@ -1,0 +1,574 @@
+"""``python -m dhr_tpu`` — the framework's verbs in one CLI.
+
+Replaces the reference's per-stage entry points with a single typed surface
+(reference equivalents in parentheses):
+
+- ``prepare-corpus``  tokenize raw corpus -> JSONL (utils/tokenize_corpus.py)
+- ``prepare-train``   MS MARCO tsvs -> train groups (preprocessor_tsv.py)
+- ``train``           train a retriever (driver/train.py, driver/jax_train.py)
+- ``encode``          corpus/query encoding -> packed planes (driver/encode.py)
+- ``densify``         sparse vectors / BM25 -> densified index
+                      (densify/output_vector.py + densify_corpus.py + densify_query.py)
+- ``index``           merge shards, quantize (retrieval/index.py,
+                      retrieval/quantize_index.py)
+- ``search``          GIP/IP retrieval -> TREC run (retrieval/gip_retrieval.py,
+                      tevatron/faiss_retriever)
+- ``merge-runs``      merge shard runs (retrieval/merge.result.py)
+- ``eval``            qrels + run -> metrics (pyserini trec_eval operating
+                      points; retrieval/rcap_eval.py)
+- ``beir``            zero-shot BEIR harness (tevatron/datasets/beir)
+
+Every subcommand also accepts ``--config file.json`` whose keys are the long
+option names (CLI flags win).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+
+import numpy as np
+
+logger = logging.getLogger("dhr_tpu")
+
+
+def _load_tokenizer(path: str):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(path)
+
+
+def _apply_config_file(args: argparse.Namespace) -> argparse.Namespace:
+    cfg_path = getattr(args, "config", None)
+    if not cfg_path:
+        return args
+    with open(cfg_path) as f:
+        overrides = json.load(f)
+    for key, value in overrides.items():
+        key = key.replace("-", "_")
+        if getattr(args, key, None) in (None, False):
+            setattr(args, key, value)
+    return args
+
+
+# ---------------------------------------------------------------- prepare --
+
+
+def cmd_prepare_corpus(args):
+    from dhr_tpu.data.tokenize import tokenize_corpus_file
+
+    tok = _load_tokenizer(args.tokenizer)
+    n = tokenize_corpus_file(
+        args.input, args.output, tok, max_len=args.max_len, schema=args.schema
+    )
+    logger.info("tokenized %d docs -> %s", n, args.output)
+
+
+def cmd_prepare_train(args):
+    from dhr_tpu.data.examples import write_jsonl
+    from dhr_tpu.data.tokenize import (
+        build_train_groups,
+        read_negatives_tsv,
+        read_qrels_tsv,
+        read_queries_tsv,
+    )
+
+    tok = _load_tokenizer(args.tokenizer)
+    groups = build_train_groups(
+        read_queries_tsv(args.queries),
+        read_qrels_tsv(args.qrels),
+        read_negatives_tsv(args.negatives),
+        tok,
+        q_max_len=args.q_max_len,
+        n_negatives=args.n_negatives,
+    )
+    write_jsonl(args.output, groups)
+    logger.info("wrote train groups -> %s", args.output)
+
+
+# ------------------------------------------------------------------ train --
+
+
+def _model_cfg_from_args(args):
+    import jax.numpy as jnp
+
+    from dhr_tpu.models.retrievers import RetrieverConfig
+    from dhr_tpu.models.transformer import EncoderConfig
+
+    if args.model_name_or_path:
+        from dhr_tpu.models.hf_io import encoder_config_from_hf
+
+        enc = encoder_config_from_hf(
+            args.model_name_or_path,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+    else:
+        enc = EncoderConfig.distilbert_base()
+    return RetrieverConfig(
+        model_type=args.model,
+        encoder=enc,
+        untie_encoder=args.untie_encoder,
+        add_pooler=args.add_pooler,
+        projection_dim=args.projection_dim,
+        pooling=args.pooling,
+        combine_cls=not args.no_combine_cls,
+        dlr_out_dim=args.dlr_out_dim,
+        agg_dim=args.agg_dim,
+        semi_aggregate=args.semi_aggregate,
+        skip_mlm=args.skip_mlm,
+    )
+
+
+def _load_init_params(args, model_cfg):
+    """Initialize BiEncoder params from an HF checkpoint directory."""
+    import jax
+
+    from dhr_tpu.models.hf_io import (
+        convert_hf_mlm_to_params,
+        load_hf_state_dict,
+        load_sidecar_head,
+    )
+    from dhr_tpu.models.retrievers import BiEncoder
+
+    model = BiEncoder(model_cfg)
+    dummy = {
+        "input_ids": np.zeros((2, 8), np.int32),
+        "attention_mask": np.ones((2, 8), np.int32),
+    }
+    import jax.numpy as jnp
+
+    jb = jax.tree.map(jnp.asarray, dummy)
+    params = model.init(jax.random.PRNGKey(0), query=jb, passage=jb)["params"]
+    if not args.model_name_or_path:
+        return model, params
+    sd = load_hf_state_dict(args.model_name_or_path)
+    backbone = convert_hf_mlm_to_params(sd, model_cfg.encoder)
+    for side in ["encoder_q"] + (
+        ["encoder_p"] if model_cfg.untie_encoder else []
+    ):
+        if "encoder" in params[side]["backbone"]:
+            params[side]["backbone"] = backbone
+        else:  # TransformerEncoder only (no MLM head in this family)
+            params[side]["backbone"] = backbone["encoder"]
+    for name, key in (("pooler", "pooler"), ("TermWeightTrans", "term_weight")):
+        side_params = load_sidecar_head(args.model_name_or_path, name)
+        if side_params is None:
+            continue
+        if key in params["encoder_q"]:
+            params["encoder_q"][key] = {"linear": side_params["q"]}
+        if model_cfg.untie_encoder and side_params["p"] is not None and (
+            key in params["encoder_p"]
+        ):
+            params["encoder_p"][key] = {"linear": side_params["p"]}
+    return model, params
+
+
+def cmd_train(args):
+    from dhr_tpu.data import Corpus, SamplingConfig, load_train_groups
+    from dhr_tpu.train.driver import RunConfig, run_training
+    from dhr_tpu.train.optimizer import OptimizerConfig
+    from dhr_tpu.train.step import LossConfig
+
+    model_cfg = _model_cfg_from_args(args)
+    _, init_params = _load_init_params(args, model_cfg)
+    groups = load_train_groups(args.train_path)
+    corpus = Corpus.load(args.corpus_path) if args.corpus_path else None
+    clusters = None
+    if args.query_cluster_path:
+        from dhr_tpu.data.examples import read_jsonl
+
+        clusters = list(read_jsonl(args.query_cluster_path))
+    steps_per_epoch = max(len(groups) // args.batch_size, 1)
+    run_training(
+        model_cfg,
+        LossConfig(n_passages=args.train_n_passages,
+                   remove_dims=args.remove_dims),
+        OptimizerConfig(
+            learning_rate=args.learning_rate,
+            warmup_steps=args.warmup_steps,
+            total_steps=steps_per_epoch * args.num_epochs,
+            weight_decay=args.weight_decay,
+            freeze_word_embeddings=args.model in ("dhr", "dlr"),
+        ),
+        RunConfig(
+            num_epochs=args.num_epochs,
+            batch_size=args.batch_size,
+            save_steps=args.save_steps,
+            log_steps=args.log_steps,
+            ckpt_dir=args.output_dir,
+            grad_cache=args.grad_cache,
+            gc_q_chunks=args.gc_q_chunks,
+            gc_p_chunks=args.gc_p_chunks,
+            seed=args.seed,
+        ),
+        groups,
+        SamplingConfig(
+            n_passages=args.train_n_passages,
+            q_max_len=args.q_max_len,
+            p_max_len=args.p_max_len,
+            seed=args.seed,
+        ),
+        corpus=corpus,
+        kd=args.kd,
+        tasb_clusters=clusters,
+        init_params=init_params,
+    )
+    logger.info("training done; checkpoints in %s", args.output_dir)
+
+
+# ----------------------------------------------------------------- encode --
+
+
+def cmd_encode(args):
+    import jax.numpy as jnp
+
+    from dhr_tpu.data import load_tokenized_corpus
+    from dhr_tpu.data.collate import collate_encode
+    from dhr_tpu.encode import EncodeConfig, Encoder
+
+    model_cfg = _model_cfg_from_args(args)
+    model, params = _load_init_params(args, model_cfg)
+    enc = Encoder(
+        model, params, model_cfg,
+        EncodeConfig(batch_size=args.batch_size,
+                     remove_dims=args.remove_dims),
+    )
+    ids, texts = load_tokenized_corpus(args.input)
+    if args.encode_num_shard > 1:
+        shard = np.array_split(np.arange(len(ids)), args.encode_num_shard)[
+            args.encode_shard_index
+        ]
+        ids = [ids[i] for i in shard]
+        texts = [texts[i] for i in shard]
+    max_len = args.q_max_len if args.encode_is_qry else args.p_max_len
+    cls_id = args.cls_token_id
+
+    def batches():
+        for start in range(0, len(ids), args.batch_size):
+            chunk_ids = ids[start: start + args.batch_size]
+            toks = [
+                ([cls_id] + t if cls_id is not None else t)[:max_len] or [0]
+                for t in texts[start: start + args.batch_size]
+            ]
+            yield collate_encode(chunk_ids, toks, max_len)
+
+    if args.encode_is_qry:
+        qv, qi, qids = enc.encode_queries(batches())
+        np.savez(
+            args.output, values=qv,
+            **({"indices": qi} if qi is not None else {}),
+        )
+        with open(args.output + ".qids.json", "w") as f:
+            json.dump(list(map(str, qids)), f)
+        logger.info("encoded %d queries -> %s", len(qids), args.output)
+    else:
+        packed = enc.encode_corpus(batches())
+        packed.save(args.output)
+        logger.info("encoded %d passages -> %s", packed.num_rows, args.output)
+
+
+# ---------------------------------------------------------------- densify --
+
+
+def cmd_densify(args):
+    from dhr_tpu.data.examples import load_sparse_vectors
+    from dhr_tpu.densify_offline import DensifyConfig, densify_corpus
+
+    cfg = DensifyConfig(model=args.weight_model, out_dim=args.dim)
+    index = densify_corpus(
+        load_sparse_vectors(args.input), cfg, args.vocab_size,
+        batch_size=args.batch_size,
+    )
+    index.save(args.output)
+    logger.info(
+        "densified %d docs (%d slice collisions) -> %s",
+        index.num_rows, getattr(index, "collisions", -1), args.output,
+    )
+
+
+# ------------------------------------------------------------------ index --
+
+
+def cmd_index(args):
+    from dhr_tpu.retrieval import PackedIndex
+
+    index = PackedIndex.merge_glob(args.inputs, lex_dim=args.lex_dim)
+    if args.quantize:
+        index = index.quantize()
+    index.save(args.output)
+    logger.info(
+        "index: %d rows x %d dims%s -> %s", index.num_rows, index.dim,
+        " (int8)" if args.quantize else "", args.output,
+    )
+
+
+# ----------------------------------------------------------------- search --
+
+
+def cmd_search(args):
+    from dhr_tpu.parallel import make_mesh
+    from dhr_tpu.retrieval import (
+        DeviceIndex,
+        PackedIndex,
+        SearchConfig,
+        Searcher,
+        write_run,
+    )
+
+    packed = PackedIndex.load(args.index_path)
+    if args.total_shard > 1:
+        per = packed.num_rows // args.total_shard
+        start = per * args.shard
+        stop = packed.num_rows if args.shard == args.total_shard - 1 else (
+            start + per
+        )
+        packed = packed.slice_rows(start, stop)
+    with np.load(args.query_path if args.query_path.endswith(".npz")
+                 else args.query_path + ".npz") as z:
+        qv = z["values"]
+        qi = z["indices"] if "indices" in z.files else None
+    with open(args.query_path + ".qids.json") as f:
+        qids = json.load(f)
+
+    import jax
+
+    mesh = None
+    if args.shard_over_devices and len(jax.devices()) > 1:
+        mesh = make_mesh(axis="index")
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed, mesh=mesh),
+        SearchConfig(
+            topk=args.topk,
+            mode="ip" if args.ip else "gip",
+            theta=0.0 if args.brute_force else args.theta,
+            rerank=args.rerank,
+            agip_topk=args.agip_topk,
+            lam=args.lamda,
+            max_important_dims=args.max_important_dims,
+            query_batch=args.query_batch,
+        ),
+    )
+    results, scores = searcher.search_run(qids, qv, qi)
+    write_run(args.output, results, scores, run_name=args.run_name)
+    logger.info("wrote %s (%d queries)", args.output, len(results))
+
+
+def cmd_merge_runs(args):
+    from dhr_tpu.retrieval import merge_runs
+
+    merge_runs(args.inputs, args.output, topk=args.topk,
+               run_name=args.run_name)
+    logger.info("merged -> %s", args.output)
+
+
+# ------------------------------------------------------------------- eval --
+
+
+def cmd_eval(args):
+    from dhr_tpu.eval import evaluate_run, mrr_at_k, recall_at_k, recall_cap_at_k
+    from dhr_tpu.retrieval import read_qrels, read_run
+
+    qrels = read_qrels(args.qrels)
+    run = read_run(args.run)
+    if args.rcap:
+        print(json.dumps({f"R_cap@{args.k}": recall_cap_at_k(qrels, run, args.k)}))
+        return
+    out = {
+        "MRR@10": mrr_at_k(qrels, run, 10),
+        "Recall@1000": recall_at_k(qrels, run, 1000),
+    }
+    out.update(evaluate_run(qrels, run, k_values=(10, 100)))
+    print(json.dumps(out, indent=1))
+
+
+def cmd_beir(args):
+    from dhr_tpu.encode import EncodeConfig, Encoder
+    from dhr_tpu.eval.beir import evaluate_beir
+    from dhr_tpu.retrieval import SearchConfig
+
+    model_cfg = _model_cfg_from_args(args)
+    model, params = _load_init_params(args, model_cfg)
+    enc = Encoder(
+        model, params, model_cfg,
+        EncodeConfig(batch_size=args.batch_size,
+                     remove_dims=args.remove_dims),
+    )
+    tok = _load_tokenizer(args.tokenizer or args.model_name_or_path)
+    out = evaluate_beir(
+        enc,
+        SearchConfig(
+            topk=args.topk, mode="ip" if args.ip else "gip",
+            theta=args.theta, rerank=args.rerank, agip_topk=args.agip_topk,
+            query_batch=args.query_batch,
+        ),
+        args.dataset_dir, tok,
+        q_max_len=args.q_max_len, p_max_len=args.p_max_len,
+        split=args.split,
+    )
+    print(json.dumps(out, indent=1))
+
+
+# -------------------------------------------------------------- arg wiring --
+
+
+def _add_model_args(p):
+    p.add_argument("--model", default="dhr",
+                   choices=["dense", "dhr", "dlr", "agg", "colbert"])
+    p.add_argument("--model-name-or-path", default=None)
+    p.add_argument("--untie-encoder", action="store_true")
+    p.add_argument("--add-pooler", action="store_true")
+    p.add_argument("--projection-dim", type=int, default=128)
+    p.add_argument("--pooling", default="cls", choices=["cls", "mean"])
+    p.add_argument("--no-combine-cls", action="store_true")
+    p.add_argument("--dlr-out-dim", type=int, default=768)
+    p.add_argument("--agg-dim", type=int, default=640)
+    p.add_argument("--semi-aggregate", action="store_true")
+    p.add_argument("--skip-mlm", action="store_true")
+    p.add_argument("--remove-dims", type=int, default=570)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--q-max-len", type=int, default=32)
+    p.add_argument("--p-max-len", type=int, default=128)
+    p.add_argument("--config", default=None)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("dhr_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("prepare-corpus")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--tokenizer", required=True)
+    p.add_argument("--max-len", type=int, default=512)
+    p.add_argument("--schema", default="msmarco-passage")
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_prepare_corpus)
+
+    p = sub.add_parser("prepare-train")
+    p.add_argument("--queries", required=True)
+    p.add_argument("--qrels", required=True)
+    p.add_argument("--negatives", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--tokenizer", required=True)
+    p.add_argument("--q-max-len", type=int, default=32)
+    p.add_argument("--n-negatives", type=int, default=200)
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_prepare_train)
+
+    p = sub.add_parser("train")
+    _add_model_args(p)
+    p.add_argument("--train-path", required=True)
+    p.add_argument("--corpus-path", default=None)
+    p.add_argument("--query-cluster-path", default=None)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--train-n-passages", type=int, default=8)
+    p.add_argument("--learning-rate", type=float, default=5e-6)
+    p.add_argument("--warmup-steps", type=int, default=2500)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--num-epochs", type=int, default=1)
+    p.add_argument("--save-steps", type=int, default=20000)
+    p.add_argument("--log-steps", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--kd", action="store_true")
+    p.add_argument("--grad-cache", action="store_true")
+    p.add_argument("--gc-q-chunks", type=int, default=4)
+    p.add_argument("--gc-p-chunks", type=int, default=8)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("encode")
+    _add_model_args(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--encode-is-qry", action="store_true")
+    p.add_argument("--encode-num-shard", type=int, default=1)
+    p.add_argument("--encode-shard-index", type=int, default=0)
+    p.add_argument("--cls-token-id", type=int, default=101)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("densify")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--weight-model", default="bm25",
+                   choices=["bm25", "deepimpact", "unicoil", "splade"])
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--vocab-size", type=int, required=True)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_densify)
+
+    p = sub.add_parser("index")
+    p.add_argument("--inputs", required=True, help="glob of shard files")
+    p.add_argument("--output", required=True)
+    p.add_argument("--lex-dim", type=int, default=None)
+    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("search")
+    p.add_argument("--index-path", required=True)
+    p.add_argument("--query-path", required=True)
+    p.add_argument("--output", default="result.trec")
+    p.add_argument("--topk", type=int, default=1000)
+    p.add_argument("--theta", type=float, default=0.1)
+    p.add_argument("--brute-force", action="store_true")
+    p.add_argument("--IP", dest="ip", action="store_true")
+    p.add_argument("--rerank", action="store_true")
+    p.add_argument("--agip-topk", type=int, default=10000)
+    p.add_argument("--lamda", type=float, default=1.0)
+    p.add_argument("--max-important-dims", type=int, default=128)
+    p.add_argument("--query-batch", type=int, default=64)
+    p.add_argument("--total-shard", type=int, default=1)
+    p.add_argument("--shard", type=int, default=0)
+    p.add_argument("--shard-over-devices", action="store_true")
+    p.add_argument("--run-name", default="dhr_tpu")
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("merge-runs")
+    p.add_argument("--inputs", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--topk", type=int, default=1000)
+    p.add_argument("--run-name", default="dhr_tpu")
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_merge_runs)
+
+    p = sub.add_parser("eval")
+    p.add_argument("--qrels", required=True)
+    p.add_argument("--run", required=True)
+    p.add_argument("--rcap", action="store_true")
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("beir")
+    _add_model_args(p)
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--split", default="test")
+    p.add_argument("--topk", type=int, default=1000)
+    p.add_argument("--theta", type=float, default=0.0)
+    p.add_argument("--IP", dest="ip", action="store_true")
+    p.add_argument("--rerank", action="store_true")
+    p.add_argument("--agip-topk", type=int, default=10000)
+    p.add_argument("--query-batch", type=int, default=64)
+    p.set_defaults(fn=cmd_beir)
+
+    return ap
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    args = build_parser().parse_args(argv)
+    args = _apply_config_file(args)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""The training driver: loader -> sharded steps -> checkpoints -> export.
+
+Replaces reference ``driver/train.py`` + ``driver/jax_train.py`` with one
+loop that has what both lacked: mid-run Orbax checkpointing WITH optimizer
+state, seamless resume (the reference's is an unimplemented TODO,
+train.py:182), per-step metrics, and optional ``jax.profiler`` traces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+
+import numpy as np
+
+import jax
+
+from dhr_tpu.data import SamplingConfig, TASBSampler, TrainLoader
+from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
+from dhr_tpu.parallel import make_mesh, replicate, shard_batch
+from dhr_tpu.train.checkpoint import (
+    latest_step,
+    restore_train_state,
+    save_train_state,
+)
+from dhr_tpu.train.optimizer import OptimizerConfig, make_optimizer
+from dhr_tpu.train.state import TrainState
+from dhr_tpu.train.step import (
+    LossConfig,
+    make_grad_cache_train_step,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    num_epochs: int = 1
+    batch_size: int = 32          # queries per step (global)
+    save_steps: int = 20000
+    log_steps: int = 100
+    ckpt_dir: str | None = None
+    resume: bool = True
+    seed: int = 42
+    grad_cache: bool = False
+    gc_q_chunks: int = 4
+    gc_p_chunks: int = 8
+    profile_dir: str | None = None
+
+
+def run_training(
+    model_cfg: RetrieverConfig,
+    loss_cfg: LossConfig,
+    opt_cfg: OptimizerConfig,
+    run_cfg: RunConfig,
+    groups: list[dict],
+    sampling: SamplingConfig,
+    corpus=None,
+    kd: bool = False,
+    tasb_clusters: list[dict] | None = None,
+    init_params=None,
+    teacher_apply=None,
+    devices=None,
+) -> TrainState:
+    """Train a retriever end to end; returns the final state."""
+    model = BiEncoder(model_cfg)
+    mesh = make_mesh(devices, axis="data")
+    loader = TrainLoader(
+        groups,
+        sampling,
+        batch_size=run_cfg.batch_size,
+        corpus=corpus,
+        kd=kd,
+        tasb=TASBSampler(tasb_clusters, seed=sampling.seed)
+        if tasb_clusters else None,
+    )
+
+    if init_params is None:
+        probe = next(iter(loader.epoch(0)))
+        loader.global_step = 0
+        init_params = model.init(
+            jax.random.PRNGKey(run_cfg.seed),
+            query=jax.tree.map(jax.numpy.asarray, probe["query"]),
+            passage=jax.tree.map(jax.numpy.asarray, probe["passage"]),
+        )["params"]
+
+    tx = make_optimizer(opt_cfg, init_params)
+    state = TrainState.create(init_params, tx)
+
+    if run_cfg.resume and run_cfg.ckpt_dir and latest_step(run_cfg.ckpt_dir):
+        state = restore_train_state(run_cfg.ckpt_dir, state)
+        logger.info("resumed from step %d", int(jax.device_get(state.step)))
+
+    if run_cfg.grad_cache:
+        step_fn = make_grad_cache_train_step(
+            model, model_cfg, loss_cfg,
+            q_chunks=run_cfg.gc_q_chunks, p_chunks=run_cfg.gc_p_chunks,
+        )
+    else:
+        step_fn = make_train_step(
+            model, model_cfg, loss_cfg, teacher_apply=teacher_apply
+        )
+    step_fn = jax.jit(step_fn)
+    rng = jax.random.PRNGKey(run_cfg.seed)
+
+    with jax.set_mesh(mesh):
+        state = replicate(state, mesh)
+        key = replicate(rng, mesh)
+        start_step = int(jax.device_get(state.step))
+        loader.global_step = start_step
+        losses = []
+        t0 = time.time()
+        if run_cfg.profile_dir:
+            jax.profiler.start_trace(run_cfg.profile_dir)
+        try:
+            for epoch in range(run_cfg.num_epochs):
+                for batch in loader.epoch(epoch):
+                    gstep = int(jax.device_get(state.step))
+                    dev_batch = shard_batch(batch, mesh)
+                    state, metrics = step_fn(state, dev_batch, key)
+                    losses.append(float(metrics["loss"]))
+                    if (gstep + 1) % run_cfg.log_steps == 0:
+                        rate = run_cfg.log_steps / max(time.time() - t0, 1e-9)
+                        logger.info(
+                            "step %d loss %.4f (%.2f steps/s)",
+                            gstep + 1, float(np.mean(losses)), rate,
+                        )
+                        losses.clear()
+                        t0 = time.time()
+                    if run_cfg.ckpt_dir and (
+                        (gstep + 1) % run_cfg.save_steps == 0
+                    ):
+                        save_train_state(run_cfg.ckpt_dir, state)
+        finally:
+            if run_cfg.profile_dir:
+                jax.profiler.stop_trace()
+    if run_cfg.ckpt_dir:
+        save_train_state(run_cfg.ckpt_dir, state)
+    return state
