@@ -60,6 +60,10 @@ class SearchConfig:
     max_important_dims: int = 128  # theta-pass scan length (static)
     query_batch: int = 64
     topk_block: int = 16384
+    # Pallas streaming kernel for the theta pass: True / False / "auto"
+    # (auto = on TPU backends when the shard row count tiles evenly).
+    use_pallas: bool | str = "auto"
+    pallas_n_tile: int = 2048
 
 
 # --------------------------------------------------------------------------
@@ -147,11 +151,29 @@ class Searcher:
             idx.dim if cfg.theta == 0.0 else min(cfg.max_important_dims, idx.dim)
         )
 
+        n_shard = n_total // (1 if self.mesh is None else
+                              self.mesh.shape[INDEX_AXIS])
+        pallas_ok = (
+            has_gip
+            and cfg.use_pallas in (True, "auto")
+            and n_shard % cfg.pallas_n_tile == 0
+            and (cfg.use_pallas is True
+                 or jax.default_backend() in ("tpu", "axon"))
+        )
+
         def local(qv, qi, values_T, indices_T, offset, n_local):
             if has_gip:
-                scores = _partial_gip_scores(
-                    qv, qi, values_T, indices_T, idx.lex_dim, n_dims
-                )
+                if pallas_ok:
+                    from dhr_tpu.ops.pallas_gip import partial_gip_scores_pallas
+
+                    scores = partial_gip_scores_pallas(
+                        qv, qi, values_T, indices_T, idx.lex_dim, n_dims,
+                        n_tile=cfg.pallas_n_tile,
+                    )
+                else:
+                    scores = _partial_gip_scores(
+                        qv, qi, values_T, indices_T, idx.lex_dim, n_dims
+                    )
             else:
                 scores = _partial_ip_scores(qv, values_T)
             vals, rows = blockwise_topk(scores, min(k1, n_local), cfg.topk_block)
