@@ -75,7 +75,8 @@ def densify_batch(
         keep = (tids >= om) & (tids < vocab_size)
         tids, ws = tids[keep], ws[keep]
         u = tids - om
-        collisions += int(np.sum(np.bincount(u % d, minlength=d) > 1))
+        sl = u % d
+        collisions += len(sl) - len(np.unique(sl))  # extras beyond 1st/slice
         dense[i, u] = ws
     folded = dense.reshape(B, usable // d, d)
     values = folded.max(axis=1).astype(np.float16)

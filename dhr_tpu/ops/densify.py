@@ -132,7 +132,8 @@ def densify_sparse_rows(
     u = token_ids - remove_dims
     slices = u % out_dim
     folds = u // out_dim
-    collisions = int(np.sum(np.bincount(slices, minlength=out_dim) > 1))
+    # collisions = extra tokens beyond the first landing on each slice
+    collisions = len(slices) - len(np.unique(slices)) if len(slices) else 0
     # Max-collision resolution with first-fold tie break: process in fold
     # order so the first (lowest-fold) maximum wins, matching densify().
     order = np.argsort(folds, kind="stable")
