@@ -3,20 +3,20 @@
 Operating point = the reference's documented best-quality configuration
 (docs/dhr/msmarco-passage-train-eval.md:114-125): theta=0.3 approximate GIP
 with exact-GIP rerank of the top agip_topk=10000, final top-k 1000, index
-dtypes f16 values (768 DLR dims + 128 CLS dims) + uint8 argmax indices.
+dtypes f16/bf16 values (768 DLR dims + 128 CLS dims) + int8 argmax indices.
 
-Index: synthetic 2M-passage index with realistic value/index statistics
-(softmax-weighted lexical values are sparse-positive; argmax folds uniform
-over 39).  2M rows is what fits one v5e chip with both row- and dim-major
-planes resident; the JSON also reports the 8.8M-corpus-equivalent rate
-(bandwidth-proportional) for comparison against MS MARCO-scale numbers.
+Index: synthetic 1.64M-passage index generated ON DEVICE (sparse-positive
+gamma-like lexical values, uniform argmax folds) — what fits one v5e chip
+with both row- and dim-major planes resident.  The JSON also reports the
+8.8M-corpus-equivalent rate (bandwidth-proportional) for comparison at MS
+MARCO scale.
 
 vs_baseline: measured q/s divided by 100 q/s — our estimate of the reference
 GPU engine at the same operating point on the full 8.8M index.  The reference
 publishes no throughput numbers (SURVEY.md section 6); 100 q/s is generous to
-it: its per-query loop gathers ~30 important columns from row-major arrays
-(~0.8 GB strided reads/query) plus a 10k-candidate rerank, which bounds it
-to low hundreds of q/s on an A100-class part before Python overhead.
+it: its per-query loop gathers ~30-50 important columns from row-major arrays
+(~0.8 GB strided reads/query) plus a 10k-candidate rerank, bounding it to low
+hundreds of q/s on an A100-class part before Python overhead.
 
 Prints exactly one JSON line.
 """
@@ -26,9 +26,10 @@ import time
 
 import numpy as np
 
-N_ROWS = 2_000_000
+N_ROWS = 1_638_400  # 16 x 102400 — tiles evenly for the Pallas kernel; fits one chip
 LEX_DIM = 768
 CLS_DIM = 128
+N_FOLDS = 39
 N_QUERIES = 256
 QUERY_BATCH = 64
 THETA = 0.3
@@ -37,33 +38,42 @@ REFERENCE_QPS_ESTIMATE = 100.0  # see module docstring
 REFERENCE_CORPUS_ROWS = 8_841_823
 
 
-def synth_index(rng, n_rows):
-    from dhr_tpu.retrieval import PackedIndex
+def synth_device_index():
+    import jax
+    import jax.numpy as jnp
 
-    # sparse-positive values: most dims tiny, a few large (softmax x weight)
-    raw = rng.gamma(shape=0.3, scale=1.0, size=(n_rows, LEX_DIM)).astype(
-        np.float32
+    from dhr_tpu.retrieval import DeviceIndex
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    # sparse-positive lexical values: exp(-4u) gives a heavy-at-zero,
+    # occasionally-large profile like softmax-x-term-weight reps
+    lex = jnp.exp(-4.0 * jax.random.uniform(k1, (N_ROWS, LEX_DIM)))
+    cls = jax.random.normal(k2, (N_ROWS, CLS_DIM)) * 0.3
+    values = jnp.concatenate([lex, cls], axis=1).astype(jnp.bfloat16)
+    indices = jax.random.randint(
+        k3, (N_ROWS, LEX_DIM), 0, N_FOLDS, dtype=jnp.int8
     )
-    cls = rng.standard_normal((n_rows, CLS_DIM)).astype(np.float32) * 0.3
-    values = np.concatenate([raw, cls], axis=1).astype(np.float16)
-    indices = rng.integers(0, 39, (n_rows, LEX_DIM)).astype(np.uint8)
-    docids = np.arange(n_rows).astype(str).astype(object)
-    return PackedIndex(values, indices, docids, lex_dim=LEX_DIM)
+    docids = np.arange(N_ROWS).astype(str).astype(object)
+    idx = DeviceIndex.from_arrays(values, indices, docids, lex_dim=LEX_DIM)
+    jax.block_until_ready(idx.values_T)
+    return idx
 
 
 def synth_queries(rng, n):
-    qv = rng.gamma(shape=0.3, scale=1.0, size=(n, LEX_DIM)).astype(np.float32)
-    qc = rng.standard_normal((n, CLS_DIM)).astype(np.float32) * 0.3
-    qi = rng.integers(0, 39, (n, LEX_DIM)).astype(np.int32)
+    qv = np.exp(-4.0 * rng.random((n, LEX_DIM))).astype(np.float32)
+    qc = (rng.standard_normal((n, CLS_DIM)) * 0.3).astype(np.float32)
+    qi = rng.integers(0, N_FOLDS, (n, LEX_DIM)).astype(np.int32)
     return np.concatenate([qv, qc], axis=1), qi
 
 
 def main():
-    from dhr_tpu.retrieval import DeviceIndex, SearchConfig, Searcher
+    from dhr_tpu.retrieval import SearchConfig, Searcher
 
     rng = np.random.default_rng(0)
-    packed = synth_index(rng, N_ROWS)
-    index = DeviceIndex.from_packed(packed)
+    t0 = time.perf_counter()
+    index = synth_device_index()
+    build_s = time.perf_counter() - t0
     searcher = Searcher(
         index,
         SearchConfig(
@@ -74,25 +84,31 @@ def main():
     qv, qi = synth_queries(rng, N_QUERIES)
 
     # warmup (compile both stages)
-    searcher.search(qv[:QUERY_BATCH], qi[:QUERY_BATCH])
+    t0 = time.perf_counter()
+    s, r = searcher.search(qv[:QUERY_BATCH], qi[:QUERY_BATCH])
+    _ = float(s[0, 0])
+    warm_s = time.perf_counter() - t0
 
-    start = time.perf_counter()
+    t0 = time.perf_counter()
     scores, rows = searcher.search(qv, qi)
-    elapsed = time.perf_counter() - start
+    _ = float(scores[-1, -1])
+    elapsed = time.perf_counter() - t0
 
     qps = N_QUERIES / elapsed
     qps_msmarco_equiv = qps * N_ROWS / REFERENCE_CORPUS_ROWS
     result = {
-        "metric": "GIP queries/sec, 1 chip, 2M-passage index, theta=0.3+rerank",
+        "metric": "GIP queries/sec, 1 chip, 1.64M-passage index, theta=0.3+rerank@10k",
         "value": round(qps, 2),
         "unit": "queries/sec",
         "vs_baseline": round(qps_msmarco_equiv / REFERENCE_QPS_ESTIMATE, 3),
         "detail": {
             "elapsed_s": round(elapsed, 3),
+            "index_build_s": round(build_s, 1),
+            "warmup_s": round(warm_s, 1),
             "n_queries": N_QUERIES,
             "index_rows": N_ROWS,
             "qps_8.8M_equivalent": round(qps_msmarco_equiv, 2),
-            "topk_sanity": int(rows.shape[1]),
+            "topk_returned": int(rows.shape[1]),
         },
     }
     print(json.dumps(result))

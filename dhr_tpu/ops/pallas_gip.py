@@ -13,6 +13,10 @@ hand-scheduled kernel:
   dim-row tile of the corpus planes — Pallas's pipeline machinery then
   double-buffers the HBM->VMEM DMAs of exactly the rows each query needs.
   XLA's gather can't pipeline this access pattern.
+- the dim-major planes are viewed as ``(D, N/128, 128)`` so each dim's
+  N-vector is a standalone 2D-tiled plane: a block ``(1, n_tile/128, 128)``
+  is a fully-packed contiguous DMA (a ``(1, n_tile)`` row of a ``(D, N)``
+  array would straddle sublane tiles at 1/16 packing).
 - grid is ``(B, N_tiles, I)`` with the reduction axis innermost: the output
   tile ``(b, n)`` stays resident in VMEM across all ``I`` accumulation steps.
 
@@ -29,28 +33,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+LANE = 128
+
 
 def _kernel(dims_ref, gates_ref, vals_ref, lex_ref,   # scalar prefetch (SMEM)
-            vrow_ref, irow_ref,                       # VMEM tiles (1, TN)
-            out_ref):                                 # VMEM tile (1, TN)
+            vrow_ref, irow_ref,                       # VMEM (1, TS, 128)
+            out_ref):                                 # VMEM (1, TS, 128)
     b = pl.program_id(0)
     i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+        out_ref[...] = jnp.zeros_like(out_ref)
 
     dim = dims_ref[b, i]
     gate_val = gates_ref[b, i]
     v = vals_ref[b, i]
     lex_dim = lex_ref[0]
-    row = vrow_ref[0, :].astype(jnp.float32)
-    gate = jnp.where(
-        dim < lex_dim,
-        irow_ref[0, :].astype(jnp.int32) == gate_val,
-        True,
+    row = vrow_ref[0].astype(jnp.float32)            # (TS, 128)
+    # CLS dims (dim >= lex_dim) are always gated open; expressed as a
+    # logical-or with a scalar (Mosaic cannot select between bool vectors,
+    # and cannot compare i8 vectors — widen to i32 for the gate).
+    gate = jnp.logical_or(
+        irow_ref[0].astype(jnp.int32) == gate_val, dim >= lex_dim
     )
-    out_ref[0, :] += jnp.where(gate, row * v, 0.0)
+    out_ref[0] += jnp.where(gate, row * v, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tile", "interpret"))
@@ -61,51 +68,58 @@ def pallas_partial_gip(
     values_T: jax.Array,     # (D, N) bf16/i8 dim-major value plane
     indices_T: jax.Array,    # (lex_dim, N) i8/i16 dim-major index plane
     lex_dim: int | jax.Array,
-    n_tile: int = 2048,
+    n_tile: int = 4096,
     interpret: bool = False,
 ) -> jax.Array:
     """Partial GIP scores (B, N) via the scalar-prefetch streaming kernel."""
     B, n_imp = imp_vals.shape
     D, N = values_T.shape
-    assert N % n_tile == 0, (N, n_tile)
+    assert N % n_tile == 0 and n_tile % LANE == 0, (N, n_tile)
     n_tiles = N // n_tile
+    ts = n_tile // LANE
+    lex_rows = indices_T.shape[0]
+    v3 = values_T.reshape(D, N // LANE, LANE)
+    i3 = indices_T.reshape(lex_rows, N // LANE, LANE)
     lex_arr = jnp.asarray(lex_dim, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, n_tiles, n_imp),
         in_specs=[
-            # one dim-row tile of the value plane, chosen by scalar prefetch
+            # the chosen dim's value plane tile (fully packed DMA)
             pl.BlockSpec(
-                (1, n_tile),
-                lambda b, n, i, dims, gates, vals, lex: (dims[b, i], n),
+                (1, ts, LANE),
+                lambda b, n, i, dims, gates, vals, lex: (dims[b, i], n, 0),
             ),
-            # matching index-plane row tile (clamped for CLS dims)
+            # matching index-plane tile (clamped for CLS dims; gate is
+            # forced open for them inside the kernel)
             pl.BlockSpec(
-                (1, n_tile),
+                (1, ts, LANE),
                 lambda b, n, i, dims, gates, vals, lex: (
-                    jnp.minimum(dims[b, i], indices_T.shape[0] - 1), n
+                    jnp.minimum(dims[b, i], lex_rows - 1), n, 0
                 ),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_tile), lambda b, n, i, dims, gates, vals, lex: (b, n)
+            (1, ts, LANE),
+            lambda b, n, i, dims, gates, vals, lex: (b, n, 0),
         ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N // LANE, LANE), jnp.float32),
         interpret=interpret,
     )(
         imp_dims.astype(jnp.int32), imp_gates.astype(jnp.int32),
         imp_vals.astype(jnp.float32), lex_arr,
-        values_T, indices_T,
+        v3, i3,
     )
+    return out.reshape(B, N)
 
 
 def partial_gip_scores_pallas(qv, qi, values_T, indices_T, lex_dim, n_dims,
-                              n_tile: int = 2048, interpret: bool = False):
+                              n_tile: int = 4096, interpret: bool = False):
     """Drop-in twin of ``searcher._partial_gip_scores`` using the kernel."""
     imp_val, imp_dim = jax.lax.top_k(qv, n_dims)
     imp_gate = jnp.take_along_axis(qi, imp_dim, axis=-1)

@@ -178,6 +178,45 @@ class DeviceIndex:
         return self.dim - self.lex_dim if self.indices is not None else 0
 
     @staticmethod
+    def from_arrays(
+        values,
+        indices,
+        docids: np.ndarray,
+        lex_dim: int,
+        mesh: Mesh | None = None,
+        axis: str = "index",
+        value_scales=None,
+    ) -> "DeviceIndex":
+        """Build from arrays already on device (e.g. synthetic benches or a
+        just-encoded corpus) — transposes happen on device, no host copy.
+        Row count must already be a multiple of the mesh size."""
+        import jax.numpy as jnp
+
+        def put(x, spec):
+            if mesh is None:
+                return x
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        values = jnp.asarray(values)
+        dv = put(values, P(axis, None))
+        dvt = put(values.T + 0, P(None, axis))  # +0 forces a materialized copy
+        di = dit = None
+        if indices is not None:
+            indices = jnp.asarray(indices)
+            if indices.dtype == jnp.uint8:
+                indices = indices.astype(jnp.int8)
+            di = put(indices, P(axis, None))
+            dit = put(indices.T + 0, P(None, axis))
+        return DeviceIndex(
+            values=dv, values_T=dvt, indices=di, indices_T=dit,
+            docids=docids, lex_dim=lex_dim, num_rows=values.shape[0],
+            value_scales=None if value_scales is None else jnp.asarray(
+                value_scales
+            ),
+            mesh=mesh,
+        )
+
+    @staticmethod
     def from_packed(
         packed: PackedIndex,
         mesh: Mesh | None = None,
