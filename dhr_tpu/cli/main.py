@@ -384,6 +384,32 @@ def cmd_eval(args):
     print(json.dumps(out, indent=1))
 
 
+def cmd_rerank_eval(args):
+    """Candidate-list rerank evaluation (reference driver/eval.py).
+
+    Input JSONL rows: {"qry_text_id", "qry_text": [ids], "psg_text_id",
+    "psg_text": [ids], "rel"} — the EvalDataset schema (reference
+    data.py:251-283)."""
+    from dhr_tpu.data.examples import read_jsonl
+    from dhr_tpu.eval.rerank import evaluate_rerank, make_pair_scorer
+
+    model_cfg = _model_cfg_from_args(args)
+    model, params = _load_init_params(args, model_cfg)
+    scorer = make_pair_scorer(model, params, model_cfg,
+                              remove_dims=args.remove_dims)
+
+    def rows():
+        for r in read_jsonl(args.input):
+            yield (str(r["qry_text_id"]), r["qry_text"],
+                   str(r["psg_text_id"]), r["psg_text"], int(r["rel"]))
+
+    out = evaluate_rerank(
+        scorer, rows(), q_max_len=args.q_max_len, p_max_len=args.p_max_len,
+        batch_size=args.batch_size, max_queries=args.max_queries,
+    )
+    print(json.dumps(out, indent=1))
+
+
 def cmd_beir(args):
     from dhr_tpu.encode import EncodeConfig, Encoder
     from dhr_tpu.eval.beir import evaluate_beir
@@ -543,6 +569,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--config", default=None)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("rerank-eval")
+    _add_model_args(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--max-queries", type=int, default=None)
+    p.set_defaults(fn=cmd_rerank_eval)
 
     p = sub.add_parser("beir")
     _add_model_args(p)
