@@ -67,6 +67,39 @@ def synth_queries(rng, n):
     return np.concatenate([qv, qc], axis=1), qi
 
 
+def measure_encode_throughput(rng, batch_size=256, seq_len=128, n_iters=5):
+    """Secondary metric: DistilBERT-base DHR passage encode throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from dhr_tpu.encode import EncodeConfig, Encoder
+    from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
+    from dhr_tpu.models.transformer import EncoderConfig
+
+    cfg = RetrieverConfig(
+        model_type="dhr", encoder=EncoderConfig.distilbert_base(),
+        add_pooler=True, projection_dim=CLS_DIM, dlr_out_dim=LEX_DIM,
+    )
+    model = BiEncoder(cfg)
+    ids = jnp.asarray(
+        rng.integers(999, 30000, (batch_size, seq_len)), jnp.int32
+    )
+    mask = jnp.ones((batch_size, seq_len), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        passage={"input_ids": ids[:2], "attention_mask": mask[:2]},
+    )["params"]
+    enc = Encoder(model, params, cfg, EncodeConfig(batch_size=batch_size))
+    v, _ = enc._encode_passage(ids, mask)
+    _ = float(v[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        v, _ = enc._encode_passage(ids, mask)
+        _ = float(v[0, 0])
+    dt = (time.perf_counter() - t0) / n_iters
+    return batch_size / dt
+
+
 def main():
     from dhr_tpu.retrieval import SearchConfig, Searcher
 
@@ -94,6 +127,9 @@ def main():
     _ = float(scores[-1, -1])
     elapsed = time.perf_counter() - t0
 
+    del index, searcher  # free HBM for the encode measurement
+    encode_pps = measure_encode_throughput(rng)
+
     qps = N_QUERIES / elapsed
     qps_msmarco_equiv = qps * N_ROWS / REFERENCE_CORPUS_ROWS
     result = {
@@ -109,6 +145,7 @@ def main():
             "index_rows": N_ROWS,
             "qps_8.8M_equivalent": round(qps_msmarco_equiv, 2),
             "topk_returned": int(rows.shape[1]),
+            "encode_passages_per_sec": round(encode_pps, 1),
         },
     }
     print(json.dumps(result))

@@ -41,6 +41,47 @@ def whitespace_tf_query_vectors(
         yield qid, vec
 
 
+def make_unicoil_query_encoder(model, params, tokenizer, max_len: int = 64,
+                               cls_id: int | None = 101):
+    """Build a uniCOIL-style query encoder callable from a dhr_tpu model.
+
+    uniCOIL assigns each query token a learned scalar weight at its own vocab
+    position — exactly the skip-MLM lexical rep of the Aggretriever family
+    (scatter-max of TermWeightTrans outputs at the input token ids, reference
+    Aggretriever/modeling.py:296-316).  Any ``agg``-family model trained with
+    ``skip_mlm=True`` works; the returned callable maps text ->
+    ``{token_id: weight}`` and plugs into :func:`encoder_query_vectors`
+    (replacing pyserini's ``UniCoilQueryEncoder``, reference
+    densify_query.py:15,58-69).
+    """
+    import jax.numpy as jnp
+
+    def encode(text: str) -> dict:
+        ids = tokenizer.encode(
+            text, add_special_tokens=False, max_length=max_len, truncation=True
+        ) or [0]
+        if cls_id is not None:
+            ids = [cls_id] + ids
+        batch = {
+            "input_ids": jnp.asarray([ids], jnp.int32),
+            "attention_mask": jnp.ones((1, len(ids)), jnp.int32),
+        }
+        q_reps, _ = model.apply({"params": params}, query=batch,
+                                deterministic=True)
+        lex = q_reps.lexical[0]
+        import numpy as np
+
+        lex_np = np.asarray(lex)
+        out = {}
+        for t in set(ids[1:] if cls_id is not None else ids):
+            w = float(lex_np[t])
+            if w > 0:
+                out[int(t)] = w
+        return out
+
+    return encode
+
+
 def encoder_query_vectors(
     queries: list[tuple[str, str]],
     encoder: Callable[[str], dict],

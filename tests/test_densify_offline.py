@@ -114,3 +114,38 @@ def test_padded_vocab_divisibility():
     cfg = DensifyConfig(model="splade", out_dim=768)
     assert (cfg.padded_vocab(30522) - 570) % 768 == 0
     assert cfg.padded_vocab(30522) == 30522  # 29952 = 39*768 exactly
+
+
+def test_unicoil_query_encoder(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from dhr_tpu.densify_offline.query import (
+        encoder_query_vectors,
+        make_unicoil_query_encoder,
+    )
+    from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
+    from dhr_tpu.models.transformer import EncoderConfig
+
+    cfg = RetrieverConfig(
+        model_type="agg", skip_mlm=True,
+        encoder=EncoderConfig.tiny(vocab_size=70, dtype=jnp.float32,
+                                   hidden_dropout=0.0, attention_dropout=0.0),
+        agg_dim=8,
+    )
+    model = BiEncoder(cfg)
+    dummy = {"input_ids": jnp.zeros((1, 4), jnp.int32),
+             "attention_mask": jnp.ones((1, 4), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), query=dummy)["params"]
+
+    class Tok:
+        def encode(self, text, add_special_tokens=False, max_length=None,
+                   truncation=True):
+            return [(hash(w) % 60) + 5 for w in text.split()][:max_length]
+
+    enc = make_unicoil_query_encoder(model, params, Tok(), cls_id=1)
+    vec = enc("hello world hello")
+    assert isinstance(vec, dict)
+    assert all(isinstance(k, int) and v > 0 for k, v in vec.items())
+    rows = list(encoder_query_vectors([("q0", "hello world")], enc))
+    assert rows[0][0] == "q0"
