@@ -329,12 +329,17 @@ class Searcher:
         return qv, qv_stage1, qi
 
     def search(self, query_values, query_indices=None):
-        """Search a full query set; returns (scores, row_ids) as numpy."""
+        """Search a full query set; returns (scores, row_ids) as numpy.
+
+        All batches are dispatched asynchronously (JAX queues them on
+        device); results transfer back once at the end — no host-device
+        sync between batches.
+        """
         cfg = self.config
         qv_full, qv1, qi = self.prepare_queries(query_values, query_indices)
         B = qv_full.shape[0]
         bs = cfg.query_batch
-        out_scores, out_rows = [], []
+        device_out = []
         for start in range(0, B, bs):
             cf = qv_full[start:start + bs]
             c1 = qv1[start:start + bs]
@@ -349,6 +354,9 @@ class Searcher:
                 vals, rows = self._stage2(
                     jnp.asarray(cf), jnp.asarray(ci), rows
                 )
+            device_out.append((vals, rows, pad))
+        out_scores, out_rows = [], []
+        for vals, rows, pad in device_out:
             vals, rows = np.asarray(vals), np.asarray(rows)
             if pad:
                 vals, rows = vals[:-pad], rows[:-pad]
