@@ -182,7 +182,7 @@ def cmd_train(args):
 
         clusters = list(read_jsonl(args.query_cluster_path))
     steps_per_epoch = max(len(groups) // args.batch_size, 1)
-    run_training(
+    state = run_training(
         model_cfg,
         LossConfig(n_passages=args.train_n_passages,
                    remove_dims=args.remove_dims),
@@ -216,6 +216,27 @@ def cmd_train(args):
         tasb_clusters=clusters,
         init_params=init_params,
     )
+    # HF-layout export (the reference's save format: save_pretrained +
+    # pooler/TermWeightTrans sidecars) so reference tooling can read it
+    if model_cfg.needs_mlm:
+        import jax as _jax
+
+        from dhr_tpu.train.checkpoint import export_hf_checkpoint
+
+        hf_config = None
+        if args.model_name_or_path:
+            import os
+
+            cfg_path = os.path.join(args.model_name_or_path, "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    hf_config = json.load(f)
+        export_hf_checkpoint(
+            f"{args.output_dir}/export",
+            _jax.device_get(state.params),
+            model_cfg,
+            hf_config=hf_config,
+        )
     logger.info("training done; checkpoints in %s", args.output_dir)
 
 

@@ -36,6 +36,7 @@ def save_train_state(ckpt_dir: str, state: TrainState) -> str:
                 "params": jax.device_get(state.params),
                 "opt_state": jax.device_get(state.opt_state),
             },
+            force=True,  # the end-of-run save may land on a save_steps step
         )
     return path
 

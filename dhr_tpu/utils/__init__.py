@@ -5,5 +5,14 @@ from dhr_tpu.utils.convert import (
     read_qrel_tsv,
     read_tsv_pairs,
 )
+from dhr_tpu.utils.profiling import phase, report, reset, trace
 
-__all__ = ["convert_ranking_to_trec", "read_qrel_tsv", "read_tsv_pairs"]
+__all__ = [
+    "convert_ranking_to_trec",
+    "phase",
+    "read_qrel_tsv",
+    "read_tsv_pairs",
+    "report",
+    "reset",
+    "trace",
+]

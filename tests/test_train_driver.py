@@ -1,0 +1,91 @@
+"""Training driver loop: run, checkpoint mid-run, resume, HF export."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dhr_tpu.data import SamplingConfig
+from dhr_tpu.models.retrievers import RetrieverConfig
+from dhr_tpu.models.transformer import EncoderConfig
+from dhr_tpu.train import LossConfig, OptimizerConfig
+from dhr_tpu.train.driver import RunConfig, run_training
+
+VOCAB = 70
+
+
+def make_groups(rng, n=24):
+    return [
+        {
+            "query": rng.integers(1, VOCAB, 5).tolist(),
+            "positives": [rng.integers(1, VOCAB, 7).tolist()],
+            "negatives": [rng.integers(1, VOCAB, 7).tolist() for _ in range(3)],
+        }
+        for _ in range(n)
+    ]
+
+
+def configs(tmp_path, epochs=1, save_steps=2):
+    model_cfg = RetrieverConfig(
+        model_type="dhr",
+        encoder=EncoderConfig.tiny(vocab_size=VOCAB, dtype=jnp.float32,
+                                   hidden_dropout=0.0, attention_dropout=0.0),
+        add_pooler=True, projection_dim=4, dlr_out_dim=8,
+    )
+    loss_cfg = LossConfig(n_passages=2, remove_dims=6)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, total_steps=12)
+    run_cfg = RunConfig(
+        num_epochs=epochs, batch_size=8, save_steps=save_steps, log_steps=2,
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    sampling = SamplingConfig(n_passages=2, q_max_len=6, p_max_len=8)
+    return model_cfg, loss_cfg, opt_cfg, run_cfg, sampling
+
+
+def test_run_training_and_resume(rng, tmp_path):
+    groups = make_groups(rng)
+    model_cfg, loss_cfg, opt_cfg, run_cfg, sampling = configs(tmp_path)
+    state = run_training(model_cfg, loss_cfg, opt_cfg, run_cfg, groups,
+                         sampling)
+    # 24 groups / batch 8 => 3 steps
+    assert int(jax.device_get(state.step)) == 3
+
+    # resume: a second invocation restores step 3 and continues one epoch
+    import dataclasses
+
+    run_cfg2 = dataclasses.replace(run_cfg, num_epochs=1)
+    state2 = run_training(model_cfg, loss_cfg, opt_cfg, run_cfg2, groups,
+                          sampling)
+    assert int(jax.device_get(state2.step)) == 6
+
+
+def test_hf_export_roundtrip(rng, tmp_path):
+    """Exported HF layout loads back through hf_io with identical params."""
+    transformers = pytest.importorskip("transformers")
+    from dhr_tpu.models.hf_io import convert_hf_mlm_to_params, load_hf_state_dict
+    from dhr_tpu.train.checkpoint import export_hf_checkpoint
+
+    groups = make_groups(rng, n=8)
+    model_cfg, loss_cfg, opt_cfg, run_cfg, sampling = configs(tmp_path)
+    state = run_training(model_cfg, loss_cfg, opt_cfg, run_cfg, groups,
+                         sampling)
+    out = str(tmp_path / "export")
+    export_hf_checkpoint(out, jax.device_get(state.params), model_cfg)
+
+    sd = load_hf_state_dict(out)
+    back = convert_hf_mlm_to_params(sd, model_cfg.encoder)
+    orig = state.params["encoder_q"]["backbone"]
+    for path in (
+        ("encoder", "embeddings", "word", "embedding"),
+        ("encoder", "layers_0", "ffn_in", "kernel"),
+        ("mlm", "transform", "kernel"),
+    ):
+        a, b = back, orig
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # sidecars written
+    import os
+
+    assert os.path.exists(os.path.join(out, "TermWeightTrans.pt"))
+    assert os.path.exists(os.path.join(out, "pooler.pt"))
