@@ -431,6 +431,41 @@ def cmd_rerank_eval(args):
     print(json.dumps(out, indent=1))
 
 
+def cmd_beir_preprocess(args):
+    """BEIR dataset dir -> the pipeline's interchange formats
+    (reference tevatron/datasets/beir/preprocess.py role): tokenized corpus
+    and query JSONL + qrels TSV, feeding encode/search/eval separately."""
+    from dhr_tpu.data.examples import write_jsonl
+    from dhr_tpu.eval.beir import load_beir_dir
+
+    import os
+
+    tok = _load_tokenizer(args.tokenizer)
+    corpus, queries, qrels = load_beir_dir(args.dataset_dir, args.split)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    def tokenize(text, max_len):
+        ids = tok.encode(text, add_special_tokens=False,
+                         max_length=max_len, truncation=True)
+        return ids or [0]
+
+    write_jsonl(
+        f"{args.output_dir}/corpus.jsonl",
+        ({"text_id": d, "text": tokenize(t, args.p_max_len)}
+         for d, t in corpus.items()),
+    )
+    write_jsonl(
+        f"{args.output_dir}/queries.jsonl",
+        ({"text_id": q, "text": tokenize(t, args.q_max_len)}
+         for q, t in queries.items()),
+    )
+    with open(f"{args.output_dir}/qrels.tsv", "w") as f:
+        for qid, docs in qrels.items():
+            for docid, rel in docs.items():
+                f.write(f"{qid}\t0\t{docid}\t{rel}\n")
+    logger.info("wrote corpus/queries/qrels to %s", args.output_dir)
+
+
 def cmd_beir(args):
     from dhr_tpu.encode import EncodeConfig, Encoder
     from dhr_tpu.eval.beir import evaluate_beir
@@ -590,6 +625,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--config", default=None)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("beir-preprocess")
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--tokenizer", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--q-max-len", type=int, default=512)
+    p.add_argument("--p-max-len", type=int, default=512)
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_beir_preprocess)
 
     p = sub.add_parser("rerank-eval")
     _add_model_args(p)

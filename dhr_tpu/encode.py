@@ -102,8 +102,23 @@ class Encoder:
 
         jitted = jax.jit(run)
 
-        def encode(input_ids, attention_mask):
-            return jitted(self.params, input_ids, attention_mask)
+        if self.mesh is not None and self.mesh.size > 1:
+            # data-parallel encode over the mesh: batch rows sharded, params
+            # replicated (the reference's encode driver is explicitly
+            # single-GPU, driver/encode.py:37-38)
+            from dhr_tpu.parallel import row_sharded
+
+            sharding = row_sharded(self.mesh)
+
+            def encode(input_ids, attention_mask):
+                return jitted(
+                    self.params,
+                    jax.device_put(input_ids, sharding),
+                    jax.device_put(attention_mask, sharding),
+                )
+        else:
+            def encode(input_ids, attention_mask):
+                return jitted(self.params, input_ids, attention_mask)
 
         return encode
 

@@ -97,6 +97,7 @@ def run_training(
         step_fn = make_grad_cache_train_step(
             model, model_cfg, loss_cfg,
             q_chunks=run_cfg.gc_q_chunks, p_chunks=run_cfg.gc_p_chunks,
+            teacher_apply=teacher_apply,
         )
     else:
         step_fn = make_train_step(

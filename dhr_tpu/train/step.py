@@ -143,11 +143,14 @@ def make_grad_cache_train_step(
     loss_cfg: LossConfig,
     q_chunks: int = 4,
     p_chunks: int = 8,
+    teacher_apply: Callable[..., tuple[Reps, Reps]] | None = None,
 ) -> Callable:
     """Build the two-pass gradient-cache train step.
 
     ``q_chunks``/``p_chunks`` split the per-step query/passage batches; only
     one chunk's encoder activations are live at a time in either pass.
+    An in-graph TCT teacher (``teacher_apply``) runs once in the no-grad
+    pass; its scores feed the rep-level loss like any data-provided scores.
     """
 
     def encode_chunks(params, chunked, is_query, rng):
@@ -180,6 +183,11 @@ def make_grad_cache_train_step(
         p_reps = _tree_unchunk(encode_chunks(state.params, pc, False, p_rng))
 
         teacher_scores = batch.get("teacher_scores")
+        if loss_cfg.use_tct_teacher and teacher_apply is not None:
+            from dhr_tpu.train.loss import colbert_teacher_scores
+
+            tq, tp = teacher_apply(batch["query"], batch["passage"])
+            teacher_scores = colbert_teacher_scores(tq, tp)
 
         def rep_loss(qr, pr):
             return compute_loss(cfg, loss_cfg, qr, pr, teacher_scores)

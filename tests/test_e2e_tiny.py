@@ -159,3 +159,23 @@ def test_e2e_dense_pipeline(rng):
         jnp.asarray(packed.values, jnp.bfloat16).astype(jnp.float32)
     ).astype(np.float64).T
     assert results["q0"][0] == f"d{np.argmax(want[0])}"
+
+
+def test_mesh_sharded_encode_matches_single_device(rng, eight_devices):
+    from dhr_tpu.parallel import make_mesh
+
+    model, params, cfg = build_model("dhr")
+    c_ids, c_mask = make_texts(rng, 32, 10)
+    docids = [f"d{i}" for i in range(32)]
+
+    enc1 = Encoder(model, params, cfg,
+                   EncodeConfig(batch_size=16, remove_dims=REMOVE))
+    p1 = enc1.encode_corpus(iter_batches(docids, c_ids, c_mask, 16))
+
+    mesh = make_mesh(eight_devices, axis="data")
+    enc8 = Encoder(model, params, cfg,
+                   EncodeConfig(batch_size=16, remove_dims=REMOVE), mesh=mesh)
+    p8 = enc8.encode_corpus(iter_batches(docids, c_ids, c_mask, 16))
+
+    np.testing.assert_array_equal(p1.values, p8.values)
+    np.testing.assert_array_equal(p1.indices, p8.indices)
