@@ -22,9 +22,16 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache (helps repeat runs where the backend honors it)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 N_ROWS = 1_638_400  # 16 x 102400 — tiles evenly for the Pallas kernel; fits one chip
 LEX_DIM = 768

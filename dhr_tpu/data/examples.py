@@ -66,6 +66,22 @@ def write_jsonl(path: str, rows: Iterable[dict]) -> None:
             f.write(json.dumps(row) + "\n")
 
 
+def load_hf_dataset_groups(
+    name: str, split: str = "train", cache_dir: str | None = None,
+) -> list[dict]:
+    """Optional HF-datasets ingestion (reference datasets/dataset.py role).
+
+    Loads a hub/local dataset whose rows already carry ``query`` +
+    ``positives``/``negatives`` (Tevatron self-contained format) and returns
+    train groups.  Gated on the ``datasets`` package; offline environments
+    use the JSONL readers above instead.
+    """
+    import datasets as hf_datasets
+
+    ds = hf_datasets.load_dataset(name, split=split, cache_dir=cache_dir)
+    return [dict(row) for row in ds]
+
+
 class Corpus:
     """Random-access pid -> token-id list (reference TrainTASBDataset corpus).
 

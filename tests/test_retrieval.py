@@ -194,3 +194,16 @@ def test_merge_shards(rng):
     assert m.num_rows == 24
     np.testing.assert_array_equal(m.values[:10], a.values)
     np.testing.assert_array_equal(m.values[10:], b.values)
+
+
+def test_index_stats_and_avg_dims(rng):
+    from dhr_tpu.retrieval.stats import avg_important_dims, index_stats
+
+    packed = build_corpus(rng, N=50, k=3)
+    stats = index_stats(packed)
+    assert stats["rows"] == 50 and stats["lex_dim"] == 16
+    assert 0 < stats["density"] <= 1
+    assert stats["fold_usage"]["n_folds_used"] <= 3
+    qv, _ = build_queries(rng, B=4)
+    avg = avg_important_dims(qv, theta=0.5, lex_dim=16)
+    assert 0 <= avg <= 16
