@@ -110,10 +110,21 @@ def measure_encode_throughput(rng, batch_size=256, seq_len=128, n_iters=5):
 def main():
     from dhr_tpu.retrieval import SearchConfig, Searcher
 
+    global N_ROWS
     rng = np.random.default_rng(0)
-    t0 = time.perf_counter()
-    index = synth_device_index()
-    build_s = time.perf_counter() - t0
+    # fall back to smaller indexes if this chip has less free HBM
+    last_err = None
+    for n_rows in (N_ROWS, N_ROWS // 2, N_ROWS // 4):
+        N_ROWS = n_rows
+        try:
+            t0 = time.perf_counter()
+            index = synth_device_index()
+            build_s = time.perf_counter() - t0
+            break
+        except Exception as e:  # noqa: BLE001 - resource exhaustion retry
+            last_err = e
+    else:
+        raise last_err
     searcher = Searcher(
         index,
         SearchConfig(

@@ -128,3 +128,32 @@ def test_colbert_query_length_normalization(rng):
     np.testing.assert_allclose(
         ratio[valid], (32.0 / q_len[0]), rtol=1e-4
     )
+
+
+def test_remat_encoder_matches_non_remat(rng):
+    """remat=True (the BEIR long-sequence config) is numerically identical."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    batch = make_batch(rng)
+    m1, m2 = EncoderWithMLM(cfg), EncoderWithMLM(cfg_r)
+    params = m1.init(jax.random.PRNGKey(0), **batch)
+    h1, l1 = m1.apply(params, **batch)
+    h2, l2 = m2.apply(params, **batch)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+    # gradients flow through the rematerialized layers
+    def loss(p, m):
+        h, l = m.apply(p, **batch)
+        return jnp.sum(l ** 2)
+
+    g1 = jax.grad(loss)(params, m1)
+    g2 = jax.grad(loss)(params, m2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        g1, g2,
+    )
