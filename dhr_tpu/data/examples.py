@@ -42,7 +42,27 @@ def read_jsonl(path: str) -> Iterator[dict]:
 
 
 def load_tokenized_corpus(path: str) -> tuple[list[str], list[list[int]]]:
-    """Load ``{"text_id", "text"}`` rows -> (ids, token lists)."""
+    """Load ``{"text_id", "text"}`` rows -> (ids, token lists).
+
+    Uses the C++ single-pass parser when built (``dhr_tpu.native``); the
+    Python json reader is the fallback and the semantic reference.
+    """
+    files = _expand(path)
+    try:
+        from dhr_tpu import native
+
+        if native.available():
+            all_ids, all_texts = [], []
+            for p in files:
+                ids, tokens, offsets = native.load_tokenized_corpus_native(p)
+                all_ids.extend(ids)
+                all_texts.extend(
+                    tokens[offsets[i]: offsets[i + 1]].tolist() or [0]
+                    for i in range(len(ids))
+                )
+            return all_ids, all_texts
+    except Exception:  # noqa: BLE001 - any native failure falls back
+        pass
     ids, texts = [], []
     for row in read_jsonl(path):
         ids.append(str(row["text_id"]))

@@ -60,11 +60,45 @@ def densify_batch(
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Vectorized densification of a batch of sparse rows.
 
-    Returns ``(values f16 (B, d), indices (B, d), n_collisions)``.
+    Uses the C++ CSR densifier when built; the NumPy scatter + fold-max path
+    is the fallback and semantic reference.  Returns ``(values f16 (B, d),
+    indices (B, d), n_collisions)``.
     """
     B, d, om = len(rows), cfg.out_dim, cfg.omission
     usable = vocab_size - om
     assert usable % d == 0, (vocab_size, om, d)
+
+    try:
+        from dhr_tpu import native
+
+        native_ok = native.available()
+    except Exception:  # noqa: BLE001
+        native_ok = False
+    if native_ok:
+        # CSR with per-row ascending tids (tie parity with argmax: the
+        # lowest fold wins equal maxima)
+        tid_rows = []
+        w_rows = []
+        for vec in rows:
+            if vec:
+                t = np.fromiter((int(k) for k in vec), np.int64, len(vec))
+                w = np.fromiter(vec.values(), np.float32, len(vec))
+                order = np.argsort(t, kind="stable")
+                tid_rows.append(t[order])
+                w_rows.append(w[order])
+            else:
+                tid_rows.append(np.zeros(0, np.int64))
+                w_rows.append(np.zeros(0, np.float32))
+        offsets = np.zeros(B + 1, np.int64)
+        np.cumsum([len(t) for t in tid_rows], out=offsets[1:])
+        tids = np.concatenate(tid_rows) if tid_rows else np.zeros(0, np.int64)
+        ws = np.concatenate(w_rows) if w_rows else np.zeros(0, np.float32)
+        values, indices, collisions = native.densify_csr(
+            tids.astype(np.int32), ws, offsets, om, d, vocab_size
+        )
+        return (values.astype(np.float16),
+                indices.astype(cfg.index_dtype), collisions)
+
     dense = np.zeros((B, usable), np.float32)
     collisions = 0
     for i, vec in enumerate(rows):
