@@ -38,7 +38,6 @@ from dhr_tpu.retrieval.index import PackedIndex
 class EncodeConfig:
     batch_size: int = 32
     remove_dims: int = 570
-    index_dtype: str = "uint8"  # argmax plane dtype (u8 fits 39 folds)
 
 
 class Encoder:
