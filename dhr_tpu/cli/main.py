@@ -25,10 +25,8 @@ option names (CLI flags win).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import logging
-import sys
 
 import numpy as np
 

@@ -23,7 +23,7 @@ Query index planes are always int16 (densify_query.py:73).
 from __future__ import annotations
 
 import dataclasses
-from collections.abc import Iterable, Iterator
+from collections.abc import Iterable
 
 import numpy as np
 

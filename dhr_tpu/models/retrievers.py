@@ -25,7 +25,7 @@ serves training, corpus encoding, and serving.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import flax.struct

@@ -19,8 +19,7 @@ tevax/training.py:70-102, re-derived functionally):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
