@@ -17,6 +17,10 @@ from dhr_tpu.ops.gip import (
     scale_cls_tail,
     threshold_query_values,
 )
+from dhr_tpu.ops.pallas_gip import (
+    pallas_partial_gip,
+    partial_gip_scores_pallas,
+)
 from dhr_tpu.ops.quantize import (
     QuantizedPlane,
     dequantize,
@@ -43,6 +47,8 @@ __all__ = [
     "merge_reps",
     "merge_topk",
     "pad_indices_for_cls",
+    "pallas_partial_gip",
+    "partial_gip_scores_pallas",
     "quantize_per_dim",
     "quantize_per_dim_np",
     "quantized_ip_scores",

@@ -128,3 +128,20 @@ def test_convert_ranking_to_trec(tmp_path):
     lines = open(out).read().splitlines()
     assert lines[0].split()[:4] == ["q1", "Q0", "d1", "1"]
     assert lines[1].split()[:4] == ["q1", "Q0", "d2", "2"]
+
+
+def test_rerank_eval_max_queries_stop(rng):
+    """Reproduces the reference's 200-query stop as an option, not a quirk."""
+    model, params, cfg = tiny_model("dense")
+    scorer = make_pair_scorer(model, params, cfg)
+    examples = []
+    for q in range(6):
+        q_toks = rng.integers(1, VOCAB, 4).tolist()
+        for p in range(3):
+            examples.append(
+                (f"q{q}", q_toks, f"p{p}",
+                 rng.integers(1, VOCAB, 5).tolist(), int(p == 0))
+            )
+    out = evaluate_rerank(scorer, examples, q_max_len=5, p_max_len=6,
+                          batch_size=4, max_queries=3)
+    assert out["num_queries"] == 3
