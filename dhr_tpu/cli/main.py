@@ -208,6 +208,8 @@ def cmd_train(args):
             q_max_len=args.q_max_len,
             p_max_len=args.p_max_len,
             seed=args.seed,
+            cls_id=args.cls_token_id,
+            sep_id=args.sep_token_id,
         ),
         corpus=corpus,
         kd=args.kd,
@@ -263,13 +265,14 @@ def cmd_encode(args):
         ids = [ids[i] for i in shard]
         texts = [texts[i] for i in shard]
     max_len = args.q_max_len if args.encode_is_qry else args.p_max_len
-    cls_id = args.cls_token_id
+
+    from dhr_tpu.data.collate import wrap_specials
 
     def batches():
         for start in range(0, len(ids), args.batch_size):
             chunk_ids = ids[start: start + args.batch_size]
             toks = [
-                ([cls_id] + t if cls_id is not None else t)[:max_len] or [0]
+                wrap_specials(t, max_len, args.cls_token_id, args.sep_token_id)
                 for t in texts[start: start + args.batch_size]
             ]
             yield collate_encode(chunk_ids, toks, max_len)
@@ -425,6 +428,7 @@ def cmd_rerank_eval(args):
     out = evaluate_rerank(
         scorer, rows(), q_max_len=args.q_max_len, p_max_len=args.p_max_len,
         batch_size=args.batch_size, max_queries=args.max_queries,
+        cls_id=args.cls_token_id, sep_id=args.sep_token_id,
     )
     print(json.dumps(out, indent=1))
 
@@ -486,7 +490,7 @@ def cmd_beir(args):
         ),
         args.dataset_dir, tok,
         q_max_len=args.q_max_len, p_max_len=args.p_max_len,
-        split=args.split,
+        split=args.split, cls_id=args.cls_token_id, sep_id=args.sep_token_id,
     )
     print(json.dumps(out, indent=1))
 
@@ -510,6 +514,8 @@ def _add_model_args(p):
     p.add_argument("--remove-dims", type=int, default=570)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--cls-token-id", type=int, default=101)
+    p.add_argument("--sep-token-id", type=int, default=102)
     p.add_argument("--q-max-len", type=int, default=32)
     p.add_argument("--p-max-len", type=int, default=128)
     p.add_argument("--config", default=None)
@@ -566,7 +572,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encode-is-qry", action="store_true")
     p.add_argument("--encode-num-shard", type=int, default=1)
     p.add_argument("--encode-shard-index", type=int, default=0)
-    p.add_argument("--cls-token-id", type=int, default=101)
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("densify")

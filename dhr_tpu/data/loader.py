@@ -90,7 +90,8 @@ class TrainLoader:
     def _collate(self, items, epoch, rng):
         examples = [self._make_example(i, epoch, rng) for i in items]
         return collate_train(
-            examples, self.cfg.q_max_len, self.cfg.p_max_len, self.pad_id
+            examples, self.cfg.q_max_len, self.cfg.p_max_len, self.pad_id,
+            cls_id=self.cfg.cls_id, sep_id=self.cfg.sep_id,
         )
 
     def epoch(self, epoch: int) -> Iterator[dict]:

@@ -35,6 +35,10 @@ class SamplingConfig:
     positive_no_shuffle: bool = False
     negative_no_shuffle: bool = False
     seed: int = 42
+    # special tokens re-added at collation (the interchange corpora store
+    # token ids without them); None disables (tiny-vocab tests)
+    cls_id: int | None = None
+    sep_id: int | None = None
 
 
 def select_passages(

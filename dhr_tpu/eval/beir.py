@@ -56,7 +56,10 @@ def load_beir_dir(path: str, split: str = "test"):
 
 
 def _tokenize_batches(items: dict[str, str], tokenizer, max_len: int,
-                      batch_size: int, cls_id: int | None):
+                      batch_size: int, cls_id: int | None,
+                      sep_id: int | None = None):
+    from dhr_tpu.data.collate import wrap_specials
+
     ids = list(items.keys())
     for start in range(0, len(ids), batch_size):
         chunk = ids[start: start + batch_size]
@@ -64,12 +67,9 @@ def _tokenize_batches(items: dict[str, str], tokenizer, max_len: int,
         for i in chunk:
             t = tokenizer.encode(
                 items[i], add_special_tokens=False,
-                max_length=max_len - (1 if cls_id is not None else 0),
-                truncation=True,
+                max_length=max_len, truncation=True,
             )
-            if cls_id is not None:
-                t = [cls_id] + t
-            toks.append(t or [0])
+            toks.append(wrap_specials(t, max_len, cls_id, sep_id))
         yield collate_encode(chunk, toks, max_len)
 
 
@@ -82,6 +82,7 @@ def evaluate_beir(
     q_max_len: int = 512,
     p_max_len: int = 512,
     cls_id: int | None = 101,
+    sep_id: int | None = None,
     mesh=None,
     k_values=(10, 100),
 ) -> dict:
@@ -95,10 +96,10 @@ def evaluate_beir(
     corpus, queries, qrels = load_beir_dir(dataset_dir, split)
     bs = encoder.encode_cfg.batch_size
     packed = encoder.encode_corpus(
-        _tokenize_batches(corpus, tokenizer, p_max_len, bs, cls_id)
+        _tokenize_batches(corpus, tokenizer, p_max_len, bs, cls_id, sep_id)
     )
     qv, qi, qids = encoder.encode_queries(
-        _tokenize_batches(queries, tokenizer, q_max_len, bs, cls_id)
+        _tokenize_batches(queries, tokenizer, q_max_len, bs, cls_id, sep_id)
     )
     searcher = Searcher(DeviceIndex.from_packed(packed, mesh=mesh),
                         search_config)

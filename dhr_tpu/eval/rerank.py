@@ -74,6 +74,8 @@ def evaluate_rerank(
     p_max_len: int = 128,
     batch_size: int = 64,
     max_queries: int | None = None,
+    cls_id: int | None = None,
+    sep_id: int | None = None,
 ) -> dict:
     """Score (qid, q_tokens, pid, p_tokens, rel) rows, aggregate metrics."""
     from dhr_tpu.eval.metrics import rerank_metrics
@@ -86,8 +88,10 @@ def evaluate_rerank(
             return
         n = len(buf)
         pad = batch_size - n
-        q = pad_token_batch([b[1] for b in buf] + [[0]] * pad, q_max_len)
-        p = pad_token_batch([b[2] for b in buf] + [[0]] * pad, p_max_len)
+        q = pad_token_batch([b[1] for b in buf] + [[0]] * pad, q_max_len,
+                            cls_id=cls_id, sep_id=sep_id)
+        p = pad_token_batch([b[2] for b in buf] + [[0]] * pad, p_max_len,
+                            cls_id=cls_id, sep_id=sep_id)
         scores = np.asarray(
             scorer(jax.tree.map(jnp.asarray, q), jax.tree.map(jnp.asarray, p))
         )[:n]
