@@ -155,3 +155,69 @@ def build_train_groups(
                 "positives": [corpus_texts[p] for p in pos_pids],
                 "negatives": [corpus_texts[p] for p in negs],
             }
+
+
+# --------------------------------------------------------------------------
+# row preprocessors for raw-text datasets (reference datasets/preprocessor.py
+# + the PROCESSOR_INFO registry in datasets/__init__.py) — convert hub-format
+# rows (Tevatron self-contained: query + positive_passages/negative_passages
+# with optional titles) into the tokenized interchange schemas.
+# --------------------------------------------------------------------------
+
+
+def _passage_text(p: dict, separator: str = " ") -> str:
+    if isinstance(p, str):
+        return p
+    title = p.get("title")
+    return f"{title}{separator}{p['text']}" if title else p["text"]
+
+
+def make_train_preprocessor(tokenizer, q_max_len: int = 32,
+                            p_max_len: int = 256, separator: str = " "):
+    """Row {'query', 'positive_passages', 'negative_passages'} -> train group."""
+
+    def enc(text, max_len):
+        return tokenizer.encode(text, add_special_tokens=False,
+                                max_length=max_len, truncation=True)
+
+    def process(example: dict) -> dict:
+        return {
+            "query": enc(example["query"], q_max_len),
+            "positives": [
+                enc(_passage_text(p, separator), p_max_len)
+                for p in example["positive_passages"]
+            ],
+            "negatives": [
+                enc(_passage_text(p, separator), p_max_len)
+                for p in example["negative_passages"]
+            ],
+        }
+
+    return process
+
+
+def make_query_preprocessor(tokenizer, q_max_len: int = 32):
+    def process(example: dict) -> dict:
+        return {
+            "text_id": example.get("query_id", example.get("text_id")),
+            "text": tokenizer.encode(
+                example["query"], add_special_tokens=False,
+                max_length=q_max_len, truncation=True,
+            ),
+        }
+
+    return process
+
+
+def make_corpus_preprocessor(tokenizer, p_max_len: int = 256,
+                             separator: str = " "):
+    def process(example: dict) -> dict:
+        return {
+            "text_id": example.get("docid", example.get("text_id")),
+            "text": tokenizer.encode(
+                _passage_text(example, separator), add_special_tokens=False,
+                max_length=p_max_len, truncation=True,
+            ),
+        }
+
+    return process

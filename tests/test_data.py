@@ -155,3 +155,25 @@ def test_build_train_groups(tmp_path):
     assert len(groups) == 2
     g1 = next(g for g in groups if g["positive_pids"] == ["p1"])
     assert g1["negative_pids"] == ["p2", "p3"]  # positive filtered out
+
+
+def test_raw_text_preprocessors():
+    from dhr_tpu.data.tokenize import (
+        make_corpus_preprocessor,
+        make_query_preprocessor,
+        make_train_preprocessor,
+    )
+
+    tok = FakeTokenizer()
+    train = make_train_preprocessor(tok, q_max_len=4, p_max_len=6)
+    group = train({
+        "query": "hello world",
+        "positive_passages": [{"title": "t", "text": "body text"}],
+        "negative_passages": ["plain string passage"],
+    })
+    assert set(group) == {"query", "positives", "negatives"}
+    assert all(isinstance(t, int) for t in group["query"])
+    q = make_query_preprocessor(tok)({"query_id": "q1", "query": "abc def"})
+    assert q["text_id"] == "q1" and isinstance(q["text"], list)
+    c = make_corpus_preprocessor(tok)({"docid": "d1", "text": "xyz"})
+    assert c["text_id"] == "d1"
