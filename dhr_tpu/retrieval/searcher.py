@@ -318,7 +318,9 @@ class Searcher:
         # theta thresholds the (lambda-scaled) query values, like the
         # reference's (query_emb > theta) gather; int8 scale folding happens
         # after so the threshold semantics match the f16 index exactly.
-        if cfg.theta > 0:
+        # IP mode ignores theta: the reference's IP approximation runs the
+        # full inner product (gip_retrieval.py:137-139).
+        if cfg.theta > 0 and cfg.mode == "gip":
             qv_stage1 = np.where(qv > cfg.theta, qv, 0.0).astype(np.float32)
         else:
             qv_stage1 = qv

@@ -207,3 +207,23 @@ def test_index_stats_and_avg_dims(rng):
     qv, _ = build_queries(rng, B=4)
     avg = avg_important_dims(qv, theta=0.5, lex_dim=16)
     assert 0 <= avg <= 16
+
+
+def test_ip_candidates_with_gip_rerank(rng):
+    """Reference's --IP --rerank: full-IP candidates, exact-GIP rerank."""
+    packed = build_corpus(rng, N=200)
+    qv, qi = build_queries(rng, B=3)
+    s = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=8, mode="ip", theta=0.5, rerank=True,
+                     agip_topk=40, query_batch=4),
+    )
+    scores, rows = s.search(qv, qi)
+    dev_vals = packed.values.astype(np.float64)
+    partial = qv.astype(np.float64) @ dev_vals.T  # full IP, theta ignored
+    full = gip_oracle_scores(qv, qi, packed)
+    for b in range(3):
+        cand = np.argsort(-partial[b], kind="stable")[:40]
+        re = full[b, cand]
+        order = cand[np.argsort(-re, kind="stable")[:8]]
+        np.testing.assert_array_equal(rows[b], order)
