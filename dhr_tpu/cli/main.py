@@ -39,7 +39,9 @@ def _load_tokenizer(path: str):
     return AutoTokenizer.from_pretrained(path)
 
 
-def _apply_config_file(args: argparse.Namespace) -> argparse.Namespace:
+def _apply_config_file(args: argparse.Namespace,
+                       parser: argparse.ArgumentParser) -> argparse.Namespace:
+    """Fill args from a JSON file; explicit (non-default) CLI flags win."""
     cfg_path = getattr(args, "config", None)
     if not cfg_path:
         return args
@@ -47,7 +49,8 @@ def _apply_config_file(args: argparse.Namespace) -> argparse.Namespace:
         overrides = json.load(f)
     for key, value in overrides.items():
         key = key.replace("-", "_")
-        if getattr(args, key, None) in (None, False):
+        sub = getattr(args, "_subparser", parser)
+        if getattr(args, key, None) == sub.get_default(key):
             setattr(args, key, value)
     return args
 
@@ -532,7 +535,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-len", type=int, default=512)
     p.add_argument("--schema", default="msmarco-passage")
     p.add_argument("--config", default=None)
-    p.set_defaults(fn=cmd_prepare_corpus)
+    p.set_defaults(_subparser=p, fn=cmd_prepare_corpus)
 
     p = sub.add_parser("prepare-train")
     p.add_argument("--queries", required=True)
@@ -543,7 +546,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--q-max-len", type=int, default=32)
     p.add_argument("--n-negatives", type=int, default=200)
     p.add_argument("--config", default=None)
-    p.set_defaults(fn=cmd_prepare_train)
+    p.set_defaults(_subparser=p, fn=cmd_prepare_train)
 
     p = sub.add_parser("train")
     _add_model_args(p)
@@ -563,7 +566,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad-cache", action="store_true")
     p.add_argument("--gc-q-chunks", type=int, default=4)
     p.add_argument("--gc-p-chunks", type=int, default=8)
-    p.set_defaults(fn=cmd_train)
+    p.set_defaults(_subparser=p, fn=cmd_train)
 
     p = sub.add_parser("encode")
     _add_model_args(p)
@@ -572,7 +575,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encode-is-qry", action="store_true")
     p.add_argument("--encode-num-shard", type=int, default=1)
     p.add_argument("--encode-shard-index", type=int, default=0)
-    p.set_defaults(fn=cmd_encode)
+    p.set_defaults(_subparser=p, fn=cmd_encode)
 
     p = sub.add_parser("densify")
     p.add_argument("--input", required=True)
@@ -583,7 +586,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocab-size", type=int, required=True)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--config", default=None)
-    p.set_defaults(fn=cmd_densify)
+    p.set_defaults(_subparser=p, fn=cmd_densify)
 
     p = sub.add_parser("index")
     p.add_argument("--inputs", required=True, help="glob of shard files")
@@ -591,7 +594,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lex-dim", type=int, default=None)
     p.add_argument("--quantize", action="store_true")
     p.add_argument("--config", default=None)
-    p.set_defaults(fn=cmd_index)
+    p.set_defaults(_subparser=p, fn=cmd_index)
 
     p = sub.add_parser("search")
     p.add_argument("--index-path", required=True)
@@ -611,7 +614,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-over-devices", action="store_true")
     p.add_argument("--run-name", default="dhr_tpu")
     p.add_argument("--config", default=None)
-    p.set_defaults(fn=cmd_search)
+    p.set_defaults(_subparser=p, fn=cmd_search)
 
     p = sub.add_parser("merge-runs")
     p.add_argument("--inputs", required=True)
@@ -619,7 +622,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk", type=int, default=1000)
     p.add_argument("--run-name", default="dhr_tpu")
     p.add_argument("--config", default=None)
-    p.set_defaults(fn=cmd_merge_runs)
+    p.set_defaults(_subparser=p, fn=cmd_merge_runs)
 
     p = sub.add_parser("eval")
     p.add_argument("--qrels", required=True)
@@ -627,7 +630,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rcap", action="store_true")
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--config", default=None)
-    p.set_defaults(fn=cmd_eval)
+    p.set_defaults(_subparser=p, fn=cmd_eval)
 
     p = sub.add_parser("beir-preprocess")
     p.add_argument("--dataset-dir", required=True)
@@ -637,13 +640,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--q-max-len", type=int, default=512)
     p.add_argument("--p-max-len", type=int, default=512)
     p.add_argument("--config", default=None)
-    p.set_defaults(fn=cmd_beir_preprocess)
+    p.set_defaults(_subparser=p, fn=cmd_beir_preprocess)
 
     p = sub.add_parser("rerank-eval")
     _add_model_args(p)
     p.add_argument("--input", required=True)
     p.add_argument("--max-queries", type=int, default=None)
-    p.set_defaults(fn=cmd_rerank_eval)
+    p.set_defaults(_subparser=p, fn=cmd_rerank_eval)
 
     p = sub.add_parser("beir")
     _add_model_args(p)
@@ -656,7 +659,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--agip-topk", type=int, default=10000)
     p.add_argument("--query-batch", type=int, default=64)
-    p.set_defaults(fn=cmd_beir)
+    p.set_defaults(_subparser=p, fn=cmd_beir)
 
     return ap
 
@@ -666,8 +669,9 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
-    args = build_parser().parse_args(argv)
-    args = _apply_config_file(args)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    args = _apply_config_file(args, parser)
     args.fn(args)
 
 

@@ -96,3 +96,31 @@ def test_sharded_search_cli_with_merge(tmp_path, rng):
     main(["merge-runs", "--inputs", str(tmp_path / "part*.trec"),
           "--output", merged, "--topk", "10"])
     assert list(read_run(merged)["q0"]) == list(read_run(full)["q0"])
+
+
+def test_config_file_overrides(tmp_path, rng):
+    """--config JSON supplies defaults; explicit CLI flags win."""
+    import json as _json
+
+    from dhr_tpu.retrieval import PackedIndex
+
+    values = (rng.random((16, 8)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (16, 8)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(16)], dtype=object)
+    PackedIndex(values, indices, docids, lex_dim=8).save(
+        str(tmp_path / "index.npz")
+    )
+    qnpz = str(tmp_path / "q.npz")
+    np.savez(qnpz, values=values[:1].astype(np.float32),
+             indices=indices[:1].astype(np.int32))
+    with open(qnpz + ".qids.json", "w") as f:
+        _json.dump(["q0"], f)
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps({
+        "topk": 3, "brute-force": True, "query-batch": 1,
+        "output": str(tmp_path / "from_cfg.trec"),
+    }))
+    main(["search", "--index-path", str(tmp_path / "index.npz"),
+          "--query-path", qnpz, "--config", str(cfg)])
+    lines = open(tmp_path / "from_cfg.trec").read().splitlines()
+    assert len(lines) == 3  # topk from the config file
