@@ -161,6 +161,10 @@ def convert_hf_mlm_to_params(
             "layer_norm": _ln(sd, "vocab_layer_norm"),
             "bias": sd["vocab_projector.bias"],
         }
+        _check_tied_projector(
+            sd.get("vocab_projector.weight"),
+            sd[f"{emb}.word_embeddings.weight"],
+        )
     else:
         emb = "bert.embeddings"
         embeddings = {
@@ -212,6 +216,10 @@ def convert_hf_mlm_to_params(
             "layer_norm": _ln(sd, "cls.predictions.transform.LayerNorm"),
             "bias": sd["cls.predictions.bias"],
         }
+        _check_tied_projector(
+            sd.get("cls.predictions.decoder.weight"),
+            sd[f"{emb}.word_embeddings.weight"],
+        )
     params = {
         "encoder": {"embeddings": embeddings, **layers},
         "mlm": mlm,
@@ -356,6 +364,23 @@ def save_sidecar_head(
     with open(os.path.join(model_dir, f"{name}_config.json"), "w") as f:
         json.dump(
             {"input_dim": input_dim, "output_dim": output_dim, "tied": tied}, f
+        )
+
+
+def _check_tied_projector(projector, word_embeddings) -> None:
+    """dhr_tpu ties the MLM projection to the word embeddings; refuse
+    checkpoints where they genuinely differ rather than silently dropping
+    the projector weights."""
+    if projector is None:
+        return
+    a, b = np.asarray(projector), np.asarray(word_embeddings)
+    if a.shape == b.shape and not np.allclose(
+        a[:64, :64], b[:64, :64], atol=1e-5
+    ):
+        raise ValueError(
+            "checkpoint has an untied MLM projector; dhr_tpu's encoder ties "
+            "it to the word embeddings (pass tie_word_embeddings=False "
+            "support is not implemented)"
         )
 
 

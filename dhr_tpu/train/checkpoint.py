@@ -97,6 +97,35 @@ def export_hf_checkpoint(
     enc_p = p.get("encoder_p")
     untied = enc_p is not None
 
+    enc_cfg = retriever_cfg.encoder
+    if hf_config is None:
+        # self-contained export: synthesize the HF config from EncoderConfig
+        if arch == "distilbert":
+            hf_config = {
+                "model_type": "distilbert",
+                "vocab_size": enc_cfg.vocab_size,
+                "dim": enc_cfg.hidden_size,
+                "n_layers": enc_cfg.num_layers,
+                "n_heads": enc_cfg.num_heads,
+                "hidden_dim": enc_cfg.intermediate_size,
+                "max_position_embeddings": enc_cfg.max_position_embeddings,
+                "dropout": enc_cfg.hidden_dropout,
+                "attention_dropout": enc_cfg.attention_dropout,
+                "activation": "gelu",
+            }
+        else:
+            hf_config = {
+                "model_type": "bert",
+                "vocab_size": enc_cfg.vocab_size,
+                "hidden_size": enc_cfg.hidden_size,
+                "num_hidden_layers": enc_cfg.num_layers,
+                "num_attention_heads": enc_cfg.num_heads,
+                "intermediate_size": enc_cfg.intermediate_size,
+                "max_position_embeddings": enc_cfg.max_position_embeddings,
+                "type_vocab_size": enc_cfg.type_vocab_size,
+                "layer_norm_eps": enc_cfg.layer_norm_eps,
+            }
+
     def write_encoder(tree, d):
         os.makedirs(d, exist_ok=True)
         backbone = tree["backbone"]
@@ -111,9 +140,8 @@ def export_hf_checkpoint(
             {k: torch.from_numpy(np.asarray(v, np.float32)) for k, v in sd.items()},
             os.path.join(d, "pytorch_model.bin"),
         )
-        if hf_config is not None:
-            with open(os.path.join(d, "config.json"), "w") as f:
-                json.dump(hf_config, f, indent=1)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(hf_config, f, indent=1)
 
     if untied:
         write_encoder(enc_q, os.path.join(out_dir, "query_model"))
