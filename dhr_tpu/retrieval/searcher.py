@@ -76,7 +76,7 @@ class SearchConfig:
     candidate_recall: float = 0.95
 
 
-_PALLAS_TILES = (409600, 262144, 204800, 131072, 102400, 65536, 51200, 32768,
+_PALLAS_TILES = (819200, 409600, 262144, 204800, 131072, 102400, 65536, 51200, 32768,
                  25600, 16384, 8192, 4096)
 
 
