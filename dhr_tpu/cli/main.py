@@ -564,8 +564,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--kd", action="store_true")
     p.add_argument("--grad-cache", action="store_true")
-    p.add_argument("--gc-q-chunks", type=int, default=4)
-    p.add_argument("--gc-p-chunks", type=int, default=8)
+    p.add_argument("--gc-q-chunks", type=int, default=4,
+                   help="number of query chunks per grad-cache step (the "
+                        "reference's gc_q_chunk_size is a chunk SIZE; this "
+                        "is a chunk COUNT: size = batch / chunks)")
+    p.add_argument("--gc-p-chunks", type=int, default=8,
+                   help="number of passage chunks per grad-cache step")
     p.set_defaults(_subparser=p, fn=cmd_train)
 
     p = sub.add_parser("encode")
