@@ -227,3 +227,33 @@ def test_ip_candidates_with_gip_rerank(rng):
         re = full[b, cand]
         order = cand[np.argsort(-re, kind="stable")[:8]]
         np.testing.assert_array_equal(rows[b], order)
+
+
+def test_theta_pipeline_recall_vs_brute_force(rng):
+    """theta=0.3 + rerank@K recovers nearly all of the brute-force top-10
+    (the 'equal conditions' operating point, BASELINE.md)."""
+    N, lex, cls = 2000, 64, 8
+    pv = np.exp(-4.0 * rng.random((N, lex))).astype(np.float16)
+    pc = (rng.standard_normal((N, cls)) * 0.3).astype(np.float16)
+    values = np.concatenate([pv, pc], axis=1)
+    indices = rng.integers(0, 5, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex)
+    idx = DeviceIndex.from_packed(packed)
+
+    qv = np.concatenate([
+        np.exp(-4.0 * rng.random((8, lex))),
+        rng.standard_normal((8, cls)) * 0.3,
+    ], axis=1).astype(np.float32)
+    qi = rng.integers(0, 5, (8, lex)).astype(np.int32)
+
+    exact = Searcher(idx, SearchConfig(topk=10, theta=0.0, query_batch=8))
+    approx = Searcher(idx, SearchConfig(topk=10, theta=0.3, rerank=True,
+                                        agip_topk=200, max_important_dims=32,
+                                        query_batch=8))
+    _, r_exact = exact.search(qv, qi)
+    _, r_approx = approx.search(qv, qi)
+    recall = np.mean([
+        len(set(r_exact[b]) & set(r_approx[b])) / 10 for b in range(8)
+    ])
+    assert recall >= 0.8, recall
