@@ -381,6 +381,33 @@ def cmd_search(args):
     logger.info("wrote %s (%d queries)", args.output, len(results))
 
 
+def cmd_serve(args):
+    from dhr_tpu.parallel import make_mesh
+    from dhr_tpu.retrieval import DeviceIndex, PackedIndex, SearchConfig, Searcher
+    from dhr_tpu.serve import serve
+
+    import jax
+
+    packed = PackedIndex.load(args.index_path)
+    mesh = None
+    if args.shard_over_devices and len(jax.devices()) > 1:
+        mesh = make_mesh(axis="index")
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed, mesh=mesh),
+        SearchConfig(
+            topk=args.topk,
+            mode="ip" if args.ip else "gip",
+            theta=0.0 if args.brute_force else args.theta,
+            rerank=args.rerank,
+            agip_topk=args.agip_topk,
+            lam=args.lamda,
+            max_important_dims=args.max_important_dims,
+            query_batch=args.query_batch,
+        ),
+    )
+    serve(searcher, host=args.host, port=args.port)
+
+
 def cmd_merge_runs(args):
     from dhr_tpu.retrieval import merge_runs
 
@@ -619,6 +646,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-name", default="dhr_tpu")
     p.add_argument("--config", default=None)
     p.set_defaults(_subparser=p, fn=cmd_search)
+
+    p = sub.add_parser("serve")
+    p.add_argument("--index-path", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--topk", type=int, default=1000)
+    p.add_argument("--theta", type=float, default=0.3)
+    p.add_argument("--brute-force", action="store_true")
+    p.add_argument("--IP", dest="ip", action="store_true")
+    p.add_argument("--rerank", action="store_true")
+    p.add_argument("--agip-topk", type=int, default=10000)
+    p.add_argument("--lamda", type=float, default=1.0)
+    p.add_argument("--max-important-dims", type=int, default=128)
+    p.add_argument("--query-batch", type=int, default=64)
+    p.add_argument("--shard-over-devices", action="store_true")
+    p.add_argument("--config", default=None)
+    p.set_defaults(_subparser=p, fn=cmd_serve)
 
     p = sub.add_parser("merge-runs")
     p.add_argument("--inputs", required=True)
