@@ -67,3 +67,42 @@ def shard_params_tp(params, mesh: Mesh, axis: str = MODEL_AXIS):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+# --------------------------------------------------------------------------
+# FSDP/ZeRO-style weight sharding (also absent from the reference)
+# --------------------------------------------------------------------------
+
+
+def fsdp_param_specs(params, axis: str = "data", min_size: int = 2 ** 14):
+    """Shard every large param's first divisible dim over ``axis``.
+
+    ZeRO-3-flavored: weights (and, via optax init inheriting shardings,
+    optimizer moments) live sharded over the data axis; XLA all-gathers each
+    weight where it is used and reduce-scatters its gradient.  Small params
+    (norms, biases) stay replicated.
+    """
+    import numpy as np
+
+    def spec(path, leaf):
+        shape = getattr(leaf, "shape", ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return P()
+        return P(axis, *([None] * (len(shape) - 1)))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, axis: str = "data",
+                      min_size: int = 2 ** 14):
+    """Device-put params with FSDP sharding; dims not divisible by the axis
+    size fall back to replication."""
+    n = mesh.shape[axis]
+
+    def put(x, s):
+        if s != P() and x.shape[0] % n != 0:
+            s = P()
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    specs = fsdp_param_specs(params, axis, min_size)
+    return jax.tree.map(put, params, specs)

@@ -134,6 +134,17 @@ def run_training(
                         (gstep + 1) % run_cfg.save_steps == 0
                     ):
                         save_train_state(run_cfg.ckpt_dir, state)
+        except Exception:
+            # failure recovery the reference lacks (its resume is a TODO):
+            # persist the last good state so the run restarts where it died
+            if run_cfg.ckpt_dir:
+                try:
+                    path = save_train_state(run_cfg.ckpt_dir, state)
+                    logger.error("training failed; emergency checkpoint at %s",
+                                 path)
+                except Exception:  # noqa: BLE001 - keep the original error
+                    logger.exception("emergency checkpoint also failed")
+            raise
         finally:
             if run_cfg.profile_dir:
                 jax.profiler.stop_trace()

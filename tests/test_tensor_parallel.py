@@ -95,3 +95,45 @@ def test_tp_train_step_matches_unsharded(rng, eight_devices):
     ffn_kernel = s1.params["encoder_q"]["backbone"]["encoder"]["layers_0"][
         "ffn_in"]["kernel"]
     assert len(ffn_kernel.sharding.device_set) == 8
+
+
+def test_fsdp_train_step_matches_unsharded(rng, eight_devices):
+    import optax
+
+    from dhr_tpu.parallel.tp import shard_params_fsdp
+
+    cfg = tiny()
+    model = BiEncoder(cfg)
+    batch = make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), query=batch["query"],
+                        passage=batch["passage"])["params"]
+    step = jax.jit(make_train_step(model, cfg,
+                                   LossConfig(n_passages=2, remove_dims=6)))
+    key = jax.random.PRNGKey(1)
+
+    s0 = TrainState.create(params, optax.sgd(1e-2))
+    s0, m0 = step(s0, batch, key)
+
+    mesh = Mesh(np.asarray(eight_devices), ("data",))
+    with jax.set_mesh(mesh):
+        fsdp_params = shard_params_fsdp(params, mesh, min_size=64)
+        sharded_batch = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch
+        )
+        s1 = TrainState.create(fsdp_params, optax.sgd(1e-2))
+        key_r = jax.device_put(key, NamedSharding(mesh, P()))
+        s1, m1 = step(s1, sharded_batch, key_r)
+
+    assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-4
+    # embeddings (70 rows, not divisible by 8) fell back to replication;
+    # ffn kernels are genuinely sharded... hidden=32: ffn_in (32, 64):
+    # 32 % 8 == 0 -> sharded
+    k = s1.params["encoder_q"]["backbone"]["encoder"]["layers_0"]["ffn_in"][
+        "kernel"]
+    assert len(k.sharding.device_set) == 8
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(jax.device_get(b)), atol=1e-4
+        ),
+        s0.params, s1.params,
+    )
