@@ -214,7 +214,19 @@ class Searcher:
                 # large k over a huge lane dim: grow the block so the merge
                 # pool (n_blocks * k) stays small
                 block = max(cfg.topk_block, scores.shape[-1] // 16)
-                vals, rows = blockwise_topk(scores, k_local, block)
+                B = scores.shape[0]
+                if scores.shape[-1] >= (1 << 20) and B > 16 and B % 16 == 0:
+                    # corpus-scale exact sort: chunk queries so the sort
+                    # key/value buffers stay bounded (HBM, not correctness)
+                    n_chunks = B // 16
+                    chunked = scores.reshape(n_chunks, 16, scores.shape[-1])
+                    vals, rows = jax.lax.map(
+                        lambda s: blockwise_topk(s, k_local, block), chunked
+                    )
+                    vals = vals.reshape(B, -1)
+                    rows = rows.reshape(B, -1)
+                else:
+                    vals, rows = blockwise_topk(scores, k_local, block)
             return vals, rows + offset
 
         # The index planes are passed as runtime ARGUMENTS to the compiled
