@@ -69,6 +69,7 @@ class SearchConfig:
     # Candidate top-k via the TPU-native approximate PartialReduce when an
     # exact rerank follows (lax.approx_max_k); the final result top-k is
     # always exact.  Irrelevant to metrics at recall 0.99 over 10k candidates.
+    pallas_interpret: bool = False  # CPU-testing escape hatch
     approx_candidates: bool = True
     # recall target over the agip_topk candidate pool; the exact rerank that
     # follows makes the effective recall@topk ~1 (borderline candidates are
@@ -197,7 +198,7 @@ class Searcher:
 
                     scores = partial_gip_scores_pallas(
                         qv, qi, values_T, indices_T, idx.lex_dim, n_dims,
-                        n_tile=pallas_tile,
+                        n_tile=pallas_tile, interpret=cfg.pallas_interpret,
                     )
                 else:
                     scores = _partial_gip_scores(

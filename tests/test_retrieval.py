@@ -257,3 +257,24 @@ def test_theta_pipeline_recall_vs_brute_force(rng):
         len(set(r_exact[b]) & set(r_approx[b])) / 10 for b in range(8)
     ])
     assert recall >= 0.8, recall
+
+
+def test_searcher_pallas_path_matches_scan(rng):
+    """Force the Pallas kernel (interpret mode on CPU) through the Searcher."""
+    N = 512  # multiple of the smallest tile (4096? no — use explicit tile)
+    packed = build_corpus(rng, N=4096, lex=16, cls=4, k=5)
+    qv, qi = build_queries(rng, B=4)
+    cfg_scan = SearchConfig(topk=10, theta=0.3, rerank=True, agip_topk=64,
+                            max_important_dims=8, query_batch=4,
+                            use_pallas=False, approx_candidates=False)
+    cfg_pallas = SearchConfig(topk=10, theta=0.3, rerank=True, agip_topk=64,
+                              max_important_dims=8, query_batch=4,
+                              use_pallas=True, pallas_n_tile=4096,
+                              pallas_interpret=True, approx_candidates=False)
+    idx = DeviceIndex.from_packed(packed)
+    s_scan = Searcher(idx, cfg_scan)
+    s_pal = Searcher(idx, cfg_pallas)
+    v1, r1 = s_scan.search(qv, qi)
+    v2, r2 = s_pal.search(qv, qi)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-4)
