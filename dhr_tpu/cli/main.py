@@ -351,12 +351,23 @@ def cmd_search(args):
             start + per
         )
         packed = packed.slice_rows(start, stop)
-    with np.load(args.query_path if args.query_path.endswith(".npz")
-                 else args.query_path + ".npz") as z:
-        qv = z["values"]
-        qi = z["indices"] if "indices" in z.files else None
-    with open(args.query_path + ".qids.json") as f:
-        qids = json.load(f)
+    if args.query_path.endswith((".pt", ".pkl", ".pickle")):
+        # reference query pickle: [query_embs, query_arg_idxs, qids]
+        # (gip_retrieval.py:263-266)
+        import pickle
+
+        with open(args.query_path, "rb") as f:
+            qv, qi, qids = pickle.load(f)
+        qv = np.asarray(qv, np.float32)
+        qi = None if qi is None else np.asarray(qi)
+        qids = [str(q) for q in qids]
+    else:
+        with np.load(args.query_path if args.query_path.endswith(".npz")
+                     else args.query_path + ".npz") as z:
+            qv = z["values"]
+            qi = z["indices"] if "indices" in z.files else None
+        with open(args.query_path + ".qids.json") as f:
+            qids = json.load(f)
 
     import jax
 

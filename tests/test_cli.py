@@ -124,3 +124,26 @@ def test_config_file_overrides(tmp_path, rng):
           "--query-path", qnpz, "--config", str(cfg)])
     lines = open(tmp_path / "from_cfg.trec").read().splitlines()
     assert len(lines) == 3  # topk from the config file
+
+
+def test_search_reads_reference_query_pickle(tmp_path, rng):
+    import pickle
+
+    from dhr_tpu.retrieval import PackedIndex, read_run
+
+    values = (rng.random((20, 8)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (20, 8)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(20)], dtype=object)
+    PackedIndex(values, indices, docids, lex_dim=8).save(
+        str(tmp_path / "index.npz")
+    )
+    qp = str(tmp_path / "queries.pt")
+    with open(qp, "wb") as f:
+        pickle.dump([values[:2].astype(np.float16),
+                     indices[:2].astype(np.int16), ["q0", "q1"]], f)
+    run = str(tmp_path / "r.trec")
+    main(["search", "--index-path", str(tmp_path / "index.npz"),
+          "--query-path", qp, "--output", run, "--brute-force",
+          "--topk", "4", "--query-batch", "2"])
+    out = read_run(run)
+    assert list(out["q0"])[0] == "d0"
