@@ -179,3 +179,36 @@ def test_mesh_sharded_encode_matches_single_device(rng, eight_devices):
 
     np.testing.assert_array_equal(p1.values, p8.values)
     np.testing.assert_array_equal(p1.indices, p8.indices)
+
+
+def test_e2e_agg_semi_and_skip_mlm_variants(rng):
+    """Aggretriever flag combinations (--semi-aggregate, --skip-mlm) e2e."""
+    import dataclasses
+
+    for semi, skip in ((True, False), (False, True), (True, True)):
+        model, params, cfg = build_model("agg")
+        cfg = dataclasses.replace(cfg, semi_aggregate=semi, skip_mlm=skip)
+        model = BiEncoder(cfg)
+        dummy = {"input_ids": jnp.zeros((2, 6), jnp.int32),
+                 "attention_mask": jnp.ones((2, 6), jnp.int32)}
+        params = model.init(jax.random.PRNGKey(1), query=dummy,
+                            passage=dummy)["params"]
+        enc = Encoder(model, params, cfg,
+                      EncodeConfig(batch_size=8, remove_dims=REMOVE))
+        c_ids, c_mask = make_texts(rng, 16, 8)
+        packed = enc.encode_corpus(
+            iter_batches([f"d{i}" for i in range(16)], c_ids, c_mask, 8)
+        )
+        assert packed.values.shape == (16, 8 + 4)
+        qv, _, qids = enc.encode_queries(
+            iter_batches(["q0"], c_ids[:1], c_mask[:1], 8)
+        )
+        searcher = Searcher(
+            DeviceIndex.from_packed(packed),
+            SearchConfig(topk=3, mode="ip", query_batch=1),
+        )
+        results, _ = searcher.search_run(qids, qv)
+        want = qv.astype(np.float64) @ np.asarray(
+            jnp.asarray(packed.values, jnp.bfloat16).astype(jnp.float32)
+        ).astype(np.float64).T
+        assert results["q0"][0] == f"d{np.argmax(want[0])}", (semi, skip)
