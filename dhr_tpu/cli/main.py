@@ -106,6 +106,9 @@ def _model_cfg_from_args(args):
             args.model_name_or_path,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
+    elif args.tiny:
+        enc = EncoderConfig.tiny(vocab_size=args.tiny_vocab,
+                                 dtype=jnp.float32)
     else:
         enc = EncoderConfig.distilbert_base()
     return RetrieverConfig(
@@ -557,6 +560,9 @@ def _add_model_args(p):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--cls-token-id", type=int, default=101)
     p.add_argument("--sep-token-id", type=int, default=102)
+    p.add_argument("--tiny", action="store_true",
+                   help="random tiny encoder (smoke tests / quickstart)")
+    p.add_argument("--tiny-vocab", type=int, default=1024)
     p.add_argument("--q-max-len", type=int, default=32)
     p.add_argument("--p-max-len", type=int, default=128)
     p.add_argument("--config", default=None)

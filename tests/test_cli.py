@@ -147,3 +147,59 @@ def test_search_reads_reference_query_pickle(tmp_path, rng):
           "--topk", "4", "--query-batch", "2"])
     out = read_run(run)
     assert list(out["q0"])[0] == "d0"
+
+
+def test_full_cli_pipeline_train_encode_search_eval(tmp_path, rng):
+    """The whole flow through the CLI verbs with a --tiny model."""
+    import json as _json
+
+    from dhr_tpu.data.examples import write_jsonl
+
+    vocab, remove, dlr = 70, 6, 8
+    corpus_rows = [
+        {"text_id": f"d{i}",
+         "text": rng.integers(2, vocab, 8).tolist()}
+        for i in range(24)
+    ]
+    corpus_path = str(tmp_path / "corpus.jsonl")
+    write_jsonl(corpus_path, corpus_rows)
+    groups = [
+        {"query": corpus_rows[i]["text"][:4],
+         "positive_pids": [str(i)],
+         "negative_pids": [str((i + 5) % 24), str((i + 9) % 24)]}
+        for i in range(16)
+    ]
+    train_path = str(tmp_path / "train.jsonl")
+    write_jsonl(train_path, groups)
+
+    out_dir = str(tmp_path / "run")
+    common = ["--model", "dhr", "--tiny", "--tiny-vocab", str(vocab),
+              "--add-pooler", "--projection-dim", "4",
+              "--dlr-out-dim", str(dlr), "--remove-dims", str(remove),
+              "--cls-token-id", "1", "--sep-token-id", "0",
+              "--q-max-len", "6", "--p-max-len", "10"]
+    main(["train", *common, "--train-path", train_path,
+          "--corpus-path", corpus_path, "--output-dir", out_dir,
+          "--train-n-passages", "2", "--batch-size", "8",
+          "--num-epochs", "1", "--learning-rate", "1e-3",
+          "--warmup-steps", "1", "--log-steps", "1",
+          "--save-steps", "100"])
+    import os
+
+    assert os.path.exists(os.path.join(out_dir, "export", "pytorch_model.bin"))
+
+    idx_path = str(tmp_path / "index.npz")
+    main(["encode", *common, "--model-name-or-path", os.path.join(out_dir, "export"),
+          "--input", corpus_path, "--output", idx_path, "--batch-size", "8"])
+    q_path = str(tmp_path / "q.npz")
+    main(["encode", *common, "--model-name-or-path", os.path.join(out_dir, "export"),
+          "--input", corpus_path, "--encode-is-qry",
+          "--output", q_path, "--batch-size", "8"])
+
+    run_path = str(tmp_path / "run.trec")
+    main(["search", "--index-path", idx_path, "--query-path", q_path,
+          "--output", run_path, "--brute-force", "--topk", "5",
+          "--query-batch", "8"])
+    qrels = tmp_path / "qrels.tsv"
+    qrels.write_text("\n".join(f"d{i} 0 d{i} 1" for i in range(24)) + "\n")
+    main(["eval", "--qrels", str(qrels), "--run", run_path])
