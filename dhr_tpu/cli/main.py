@@ -170,6 +170,28 @@ def _load_init_params(args, model_cfg):
     return model, params
 
 
+def _build_teacher(args, student_cfg):
+    """ColBERT teacher for TCT distillation (reference driver/train.py:76-101)."""
+    import dataclasses
+
+    from dhr_tpu.models.retrievers import BiEncoder
+
+    teacher_cfg = dataclasses.replace(
+        student_cfg, model_type="colbert", add_pooler=True,
+        untie_encoder=False,
+    )
+    t_args = argparse.Namespace(**vars(args))
+    t_args.model_name_or_path = args.teacher_path
+    t_args.model = "colbert"
+    teacher, t_params = _load_init_params(t_args, teacher_cfg)
+
+    def teacher_apply(query, passage):
+        return teacher.apply({"params": t_params}, query=query,
+                             passage=passage, deterministic=True)
+
+    return teacher_apply
+
+
 def cmd_train(args):
     from dhr_tpu.data import Corpus, SamplingConfig, load_train_groups
     from dhr_tpu.train.driver import RunConfig, run_training
@@ -178,6 +200,9 @@ def cmd_train(args):
 
     model_cfg = _model_cfg_from_args(args)
     _, init_params = _load_init_params(args, model_cfg)
+    teacher_apply = None
+    if args.tct:
+        teacher_apply = _build_teacher(args, model_cfg)
     groups = load_train_groups(args.train_path)
     corpus = Corpus.load(args.corpus_path) if args.corpus_path else None
     clusters = None
@@ -189,7 +214,8 @@ def cmd_train(args):
     state = run_training(
         model_cfg,
         LossConfig(n_passages=args.train_n_passages,
-                   remove_dims=args.remove_dims),
+                   remove_dims=args.remove_dims,
+                   use_tct_teacher=args.tct),
         OptimizerConfig(
             learning_rate=args.learning_rate,
             warmup_steps=args.warmup_steps,
@@ -221,6 +247,7 @@ def cmd_train(args):
         kd=args.kd,
         tasb_clusters=clusters,
         init_params=init_params,
+        teacher_apply=teacher_apply,
     )
     # HF-layout export (the reference's save format: save_pretrained +
     # pooler/TermWeightTrans sidecars) so reference tooling can read it
@@ -607,6 +634,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--kd", action="store_true")
+    p.add_argument("--tct", action="store_true",
+                   help="distill from an in-graph ColBERT teacher")
+    p.add_argument("--teacher-path", default=None,
+                   help="HF checkpoint dir for the ColBERT teacher")
     p.add_argument("--grad-cache", action="store_true")
     p.add_argument("--gc-q-chunks", type=int, default=4,
                    help="number of query chunks per grad-cache step (the "

@@ -203,3 +203,51 @@ def test_full_cli_pipeline_train_encode_search_eval(tmp_path, rng):
     qrels = tmp_path / "qrels.tsv"
     qrels.write_text("\n".join(f"d{i} 0 d{i} 1" for i in range(24)) + "\n")
     main(["eval", "--qrels", str(qrels), "--run", run_path])
+
+
+def test_cli_tct_training(tmp_path, rng):
+    """--tct --teacher-path: DHR student distilled from a ColBERT teacher."""
+    import os
+
+    from dhr_tpu.data.examples import write_jsonl
+
+    vocab = 70
+    groups = [
+        {"query": rng.integers(2, vocab, 4).tolist(),
+         "positives": [rng.integers(2, vocab, 6).tolist()],
+         "negatives": [rng.integers(2, vocab, 6).tolist()]}
+        for _ in range(8)
+    ]
+    train_path = str(tmp_path / "train.jsonl")
+    write_jsonl(train_path, groups)
+
+    # teacher: train a tiny colbert for one step and export
+    t_dir = str(tmp_path / "teacher")
+    common = ["--tiny", "--tiny-vocab", str(vocab), "--add-pooler",
+              "--projection-dim", "4", "--dlr-out-dim", "8",
+              "--remove-dims", "6", "--cls-token-id", "1",
+              "--sep-token-id", "0", "--q-max-len", "6", "--p-max-len", "8"]
+    main(["train", "--model", "colbert", *common,
+          "--train-path", train_path, "--output-dir", t_dir,
+          "--train-n-passages", "2", "--batch-size", "8",
+          "--num-epochs", "1", "--learning-rate", "1e-3",
+          "--log-steps", "10", "--save-steps", "100"])
+    # colbert has no MLM head -> no HF export; teacher loads from a DHR-style
+    # export instead: use a dhr run's export as the teacher backbone
+    s_dir = str(tmp_path / "dhr_seed")
+    main(["train", "--model", "dhr", *common,
+          "--train-path", train_path, "--output-dir", s_dir,
+          "--train-n-passages", "2", "--batch-size", "8",
+          "--num-epochs", "1", "--learning-rate", "1e-3",
+          "--log-steps", "10", "--save-steps", "100"])
+    teacher_export = os.path.join(s_dir, "export")
+    assert os.path.exists(os.path.join(teacher_export, "pytorch_model.bin"))
+
+    out_dir = str(tmp_path / "student")
+    main(["train", "--model", "dhr", *common,
+          "--train-path", train_path, "--output-dir", out_dir,
+          "--train-n-passages", "2", "--batch-size", "8",
+          "--num-epochs", "1", "--learning-rate", "1e-3",
+          "--log-steps", "10", "--save-steps", "100",
+          "--tct", "--teacher-path", teacher_export])
+    assert os.path.exists(os.path.join(out_dir, "export", "pytorch_model.bin"))
