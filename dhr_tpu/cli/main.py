@@ -500,6 +500,7 @@ def cmd_rerank_eval(args):
         scorer, rows(), q_max_len=args.q_max_len, p_max_len=args.p_max_len,
         batch_size=args.batch_size, max_queries=args.max_queries,
         cls_id=args.cls_token_id, sep_id=args.sep_token_id,
+        reference_compat=args.reference_ndcg,
     )
     print(json.dumps(out, indent=1))
 
@@ -686,7 +687,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--agip-topk", type=int, default=10000)
     p.add_argument("--lamda", type=float, default=1.0)
-    p.add_argument("--max-important-dims", type=int, default=128)
+    p.add_argument(
+        "--max-important-dims", type=int, default=128,
+        help="stage-1 scan length for theta mode; queries with more "
+             "above-theta dims than this are truncated in stage 1 "
+             "(exact again after --rerank)",
+    )
     p.add_argument("--query-batch", type=int, default=64)
     p.add_argument("--total-shard", type=int, default=1)
     p.add_argument("--shard", type=int, default=0)
@@ -706,7 +712,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--agip-topk", type=int, default=10000)
     p.add_argument("--lamda", type=float, default=1.0)
-    p.add_argument("--max-important-dims", type=int, default=128)
+    p.add_argument(
+        "--max-important-dims", type=int, default=128,
+        help="stage-1 scan length for theta mode; queries with more "
+             "above-theta dims than this are truncated in stage 1 "
+             "(exact again after --rerank)",
+    )
     p.add_argument("--query-batch", type=int, default=64)
     p.add_argument("--shard-over-devices", action="store_true")
     p.add_argument("--config", default=None)
@@ -742,6 +753,11 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(p)
     p.add_argument("--input", required=True)
     p.add_argument("--max-queries", type=int, default=None)
+    p.add_argument(
+        "--reference-ndcg", action="store_true",
+        help="reference-exact NDCG (binary grading, max(0.3, norm) floor; "
+             "tevatron/utils/metrics.py:36-53)",
+    )
     p.set_defaults(_subparser=p, fn=cmd_rerank_eval)
 
     p = sub.add_parser("beir")

@@ -7,6 +7,7 @@ from dhr_tpu.eval.metrics import (
     mrr_at_k,
     ndcg_at_k,
     ndcg_from_ranked,
+    ndcg_reference,
     r_precision,
     recall_at_k,
     recall_cap_at_k,
@@ -22,6 +23,7 @@ __all__ = [
     "mrr_at_k",
     "ndcg_at_k",
     "ndcg_from_ranked",
+    "ndcg_reference",
     "r_precision",
     "recall_at_k",
     "recall_cap_at_k",

@@ -45,44 +45,55 @@ def mrr_at_k(qrels, run, k: int = 10) -> float:
 
 
 def recall_at_k(qrels, run, k: int = 1000) -> float:
-    """Macro-averaged recall at k (fraction of relevant docs retrieved)."""
-    total, n = 0.0, 0
+    """Macro-averaged recall at k (fraction of relevant docs retrieved).
+
+    Averaged over ``len(qrels)`` queries, matching the reference's
+    ``custom_metrics.py:53-56`` denominator convention; queries with no
+    positive qrels contribute 0 (the reference's recall_cap would divide by
+    zero there — deliberate deviation).
+    """
+    total = 0.0
     for qid, rels in qrels.items():
         relevant = {d for d, r in rels.items() if r > 0}
         if not relevant:
             continue
-        n += 1
         got = {d for d, _ in _ranked_docs(run, qid, k)}
         total += len(got & relevant) / len(relevant)
-    return total / max(n, 1)
+    return total / max(len(qrels), 1)
 
 
 def recall_cap_at_k(qrels, run, k: int = 100) -> float:
     """Capped recall: denominator is min(k, #relevant) per query.
 
-    Parity: reference ``retrieval/evaluation/custom_metrics.py`` recall_cap.
+    Parity: reference ``retrieval/evaluation/custom_metrics.py:34-58``
+    recall_cap — sum over queries divided by ``len(qrels)``.  Queries with
+    no positive qrels contribute 0 (the reference raises ZeroDivisionError
+    on those — deliberate deviation).
     """
-    total, n = 0.0, 0
+    total = 0.0
     for qid, rels in qrels.items():
         relevant = {d for d, r in rels.items() if r > 0}
         if not relevant:
             continue
-        n += 1
         got = {d for d, _ in _ranked_docs(run, qid, k)}
         total += len(got & relevant) / min(k, len(relevant))
-    return total / max(n, 1)
+    return total / max(len(qrels), 1)
 
 
 def hole_at_k(qrels, run, k: int = 100) -> float:
-    """Fraction of top-k docs that are unjudged (not in qrels at all)."""
-    total, n = 0.0, 0
-    for qid, rels in qrels.items():
-        n += 1
-        judged = set(rels.keys())
+    """Fraction of the top-k that is unjudged across the WHOLE collection.
+
+    Parity: reference ``custom_metrics.py:62-89`` — a doc is a hole when it
+    is absent from the union of annotated docids over ALL queries' qrels,
+    each query contributes ``len(holes)/k`` (k, not the retrieved count),
+    and the sum is divided by ``len(qrels)``.
+    """
+    annotated = {d for rels in qrels.values() for d in rels}
+    total = 0.0
+    for qid in run:
         got = [d for d, _ in _ranked_docs(run, qid, k)]
-        if got:
-            total += sum(1 for d in got if d not in judged) / len(got)
-    return total / max(n, 1)
+        total += sum(1 for d in got if d not in annotated) / k
+    return total / max(len(qrels), 1)
 
 
 def top_k_accuracy(qrels, run, k: int = 100) -> float:
@@ -160,6 +171,7 @@ def reciprocal_rank(rels: np.ndarray, k: int | None = None) -> float:
 
 
 def ndcg_from_ranked(rels: np.ndarray, k: int | None = None) -> float:
+    """Standard graded nDCG with (2^rel - 1) gains over the candidate list."""
     rels = np.asarray(rels, dtype=np.float64)
     if k is not None:
         rels = rels[:k]
@@ -170,11 +182,34 @@ def ndcg_from_ranked(rels: np.ndarray, k: int | None = None) -> float:
     return dcg / idcg if idcg > 0 else 0.0
 
 
-def rerank_metrics(ranked_rels: Sequence[np.ndarray]) -> dict:
+def ndcg_reference(rels: np.ndarray) -> float:
+    """Reference-exact rerank NDCG (``tevatron/utils/metrics.py:36-53``).
+
+    Semantics of ``NDCG(gt, pred)`` with the default binary grading as used
+    by ``driver/eval.py:161-163``: every positive candidate contributes gain
+    1 regardless of its graded relevance, no rank cutoff, the ideal DCG is
+    over the first ``len(gt)`` ranks, and the normalizer is floored at 0.3
+    (``score / max(0.3, norm)`` — so a query with zero positives scores 0
+    rather than being undefined).
+    """
+    rels = np.asarray(rels) > 0
+    ranks = np.flatnonzero(rels)
+    score = float((1.0 / np.log2(ranks + 2)).sum())
+    n_gt = int(rels.sum())
+    norm = float((1.0 / np.log2(np.arange(n_gt) + 2)).sum())
+    return score / max(0.3, norm)
+
+
+def rerank_metrics(
+    ranked_rels: Sequence[np.ndarray], reference_compat: bool = False
+) -> dict:
     """MAP / RPrec / nDCG / MRR / MRR@10 macro-averaged over queries.
 
     Parity: the accumulator loop in reference ``tevatron/driver/eval.py`` +
-    ``tevatron/utils/metrics.py:57-92``.
+    ``tevatron/utils/metrics.py:57-92``.  With ``reference_compat=True`` the
+    NDCG column uses the reference's exact binary-graded, floor-normalized
+    formula (:func:`ndcg_reference`); the default is standard graded nDCG
+    (identical for binary relevance with >= 1 positive).
     """
     agg = {"MAP": 0.0, "RPrec": 0.0, "NDCG": 0.0, "MRR": 0.0, "MRR@10": 0.0}
     n = 0
@@ -182,7 +217,9 @@ def rerank_metrics(ranked_rels: Sequence[np.ndarray]) -> dict:
         n += 1
         agg["MAP"] += average_precision(rels)
         agg["RPrec"] += r_precision(rels)
-        agg["NDCG"] += ndcg_from_ranked(rels)
+        agg["NDCG"] += (
+            ndcg_reference(rels) if reference_compat else ndcg_from_ranked(rels)
+        )
         agg["MRR"] += reciprocal_rank(rels)
         agg["MRR@10"] += reciprocal_rank(rels, k=10)
     return {k: v / max(n, 1) for k, v in agg.items()}

@@ -76,12 +76,17 @@ def evaluate_rerank(
     max_queries: int | None = None,
     cls_id: int | None = None,
     sep_id: int | None = None,
+    reference_compat: bool = False,
 ) -> dict:
-    """Score (qid, q_tokens, pid, p_tokens, rel) rows, aggregate metrics."""
+    """Score (qid, q_tokens, pid, p_tokens, rel) rows, aggregate metrics.
+
+    ``reference_compat=True`` switches NDCG to the reference's exact
+    binary-graded formula (``tevatron/utils/metrics.py:36-53``)."""
     from dhr_tpu.eval.metrics import rerank_metrics
 
     per_query: dict[str, list[tuple[float, int]]] = defaultdict(list)
     buf: list[tuple[str, list[int], list[int], int]] = []
+    seen: set[str] = set()
 
     def flush():
         if not buf:
@@ -100,10 +105,14 @@ def evaluate_rerank(
         buf.clear()
 
     for qid, q_tokens, _pid, p_tokens, rel in examples:
-        if max_queries is not None and len(per_query) >= max_queries and (
-            qid not in per_query
+        # Count queries as their rows are READ (not as they are flushed) so
+        # the cut never lands mid-query: a new qid past the cap stops the
+        # loop before any of its rows are buffered.
+        if max_queries is not None and qid not in seen and (
+            len(seen) >= max_queries
         ):
             break
+        seen.add(qid)
         buf.append((qid, q_tokens, p_tokens or [0], rel))
         if len(buf) == batch_size:
             flush()
@@ -113,6 +122,6 @@ def evaluate_rerank(
     for qid, rows in per_query.items():
         rows.sort(key=lambda x: -x[0])
         ranked.append(np.asarray([rel for _, rel in rows]))
-    out = rerank_metrics(ranked)
+    out = rerank_metrics(ranked, reference_compat=reference_compat)
     out["num_queries"] = len(ranked)
     return out

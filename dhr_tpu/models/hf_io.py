@@ -355,7 +355,13 @@ def save_sidecar_head(
         "linear_q.bias": torch.from_numpy(np.asarray(q_leaf["bias"], np.float32)),
     }
     tied = p_leaf is None
-    if not tied:
+    if tied:
+        # The reference's tied LinearPooler aliases linear_p = linear_q, so
+        # its state_dict() contains BOTH key families and its strict
+        # load_state_dict requires both (DHR/modeling.py:46-50, 67-68).
+        sd["linear_p.weight"] = sd["linear_q.weight"]
+        sd["linear_p.bias"] = sd["linear_q.bias"]
+    else:
         sd["linear_p.weight"] = torch.from_numpy(
             np.ascontiguousarray(np.asarray(p_leaf["kernel"], np.float32).T)
         )

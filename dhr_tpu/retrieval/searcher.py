@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 
 import numpy as np
 
@@ -335,6 +336,22 @@ class Searcher:
         # full inner product (gip_retrieval.py:137-139).
         if cfg.theta > 0 and cfg.mode == "gip":
             qv_stage1 = np.where(qv > cfg.theta, qv, 0.0).astype(np.float32)
+            # Stage 1 scans only the top min(max_important_dims, dim) query
+            # dims by value; the reference scans EVERY dim with qv > theta
+            # (gip_retrieval.py:130-136).  Queries with more above-theta
+            # dims than the cap get truncated stage-1 scores — fine with
+            # --rerank (stage 2 rescores exactly), a ranking deviation
+            # without it.  Surface that instead of silently diverging.
+            cap = min(cfg.max_important_dims, qv.shape[1])
+            n_above = int((qv_stage1 > 0).sum(axis=1).max(initial=0))
+            if n_above > cap and not cfg.rerank:
+                logging.getLogger(__name__).warning(
+                    "theta=%g leaves up to %d important dims per query but "
+                    "max_important_dims=%d caps the stage-1 scan; rankings "
+                    "may diverge from the reference. Raise "
+                    "--max-important-dims or add --rerank.",
+                    cfg.theta, n_above, cap,
+                )
         else:
             qv_stage1 = qv
         if self.index.value_scales is not None:

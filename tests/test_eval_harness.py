@@ -145,3 +145,22 @@ def test_rerank_eval_max_queries_stop(rng):
     out = evaluate_rerank(scorer, examples, q_max_len=5, p_max_len=6,
                           batch_size=4, max_queries=3)
     assert out["num_queries"] == 3
+
+
+def test_rerank_eval_max_queries_never_cuts_mid_query(rng):
+    """Queries are counted as their rows are read: a flush that lands
+    mid-buffer must not admit a partial extra query past the cap."""
+    model, params, cfg = tiny_model("dense")
+    scorer = make_pair_scorer(model, params, cfg)
+    examples = []
+    for q, n_rows in (("q0", 2), ("q1", 3)):
+        q_toks = rng.integers(1, VOCAB, 4).tolist()
+        for p in range(n_rows):
+            examples.append(
+                (q, q_toks, f"p{p}", rng.integers(1, VOCAB, 5).tolist(),
+                 int(p == 0))
+            )
+    # batch_size=3 puts q1's first row in the same flush as all of q0
+    out = evaluate_rerank(scorer, examples, q_max_len=5, p_max_len=6,
+                          batch_size=3, max_queries=1)
+    assert out["num_queries"] == 1

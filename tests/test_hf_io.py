@@ -104,3 +104,42 @@ def test_roundtrip_export(tmp_path, rng):
     orig = {k: v.numpy() for k, v in hf_model.state_dict().items()}
     for k, v in back.items():
         np.testing.assert_allclose(v, orig[k], atol=1e-6, err_msg=k)
+
+
+def test_sidecar_tied_loads_in_torch_strict(tmp_path, rng):
+    """A tied sidecar export must load through the reference's tied
+    LinearPooler with strict load_state_dict (DHR/modeling.py:46-68): the
+    tied module aliases linear_p = linear_q, so its state_dict contains
+    BOTH key families and strict loading requires both."""
+    import torch
+    import torch.nn as nn
+
+    from dhr_tpu.models.hf_io import load_sidecar_head, save_sidecar_head
+
+    kernel = rng.standard_normal((16, 8)).astype(np.float32)
+    bias = rng.standard_normal(8).astype(np.float32)
+    save_sidecar_head(
+        str(tmp_path), "pooler", {"kernel": kernel, "bias": bias}, None,
+        input_dim=16, output_dim=8,
+    )
+
+    class TiedPooler(nn.Module):  # reference-shaped strict loader
+        def __init__(self):
+            super().__init__()
+            self.linear_q = nn.Linear(16, 8)
+            self.linear_p = self.linear_q
+
+    pooler = TiedPooler()
+    sd = torch.load(tmp_path / "pooler.pt", map_location="cpu", weights_only=True)
+    pooler.load_state_dict(sd)  # strict=True default: raises on missing keys
+    np.testing.assert_allclose(
+        pooler.linear_q.weight.detach().numpy(), kernel.T, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        pooler.linear_p.bias.detach().numpy(), bias, atol=1e-7
+    )
+
+    # and our own loader still reads it back as tied
+    side = load_sidecar_head(str(tmp_path), "pooler")
+    assert side["p"] is None and side["config"]["tied"] is True
+    np.testing.assert_allclose(side["q"]["kernel"], kernel, atol=1e-7)

@@ -112,3 +112,84 @@ def test_merge_runs(tmp_path):
     merge_runs([r1, r2], out, topk=2)
     merged = read_run(out)
     assert list(merged["q"].keys()) == ["d1", "d3"]
+
+
+# ---------------------------------------------------------------------------
+# Direct parity against the reference implementations, executed as oracles.
+# ---------------------------------------------------------------------------
+
+import importlib.util
+import os
+
+import pytest
+
+_REF = "/root/reference"
+
+
+def _load_ref(relpath, name):
+    path = os.path.join(_REF, relpath)
+    if not os.path.exists(path):
+        pytest.skip(f"reference not available: {path}")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _random_eval_case(rng, n_q=7, n_docs=40, k_run=25):
+    qrels, run = {}, {}
+    docs = [f"d{i}" for i in range(n_docs)]
+    for qi in range(n_q):
+        qid = f"q{qi}"
+        judged = rng.choice(docs, size=6, replace=False)
+        # every query gets >= 1 positive (reference recall_cap divides by it)
+        rels = {d: int(rng.integers(0, 2)) for d in judged}
+        rels[judged[0]] = 1
+        qrels[qid] = rels
+        scored = rng.choice(docs, size=k_run, replace=False)
+        run[qid] = {d: float(rng.random()) for d in scored}
+    return qrels, run
+
+
+def test_run_metrics_match_reference_custom_metrics(rng):
+    cm = _load_ref("retrieval/evaluation/custom_metrics.py", "ref_custom_metrics")
+    qrels, run = _random_eval_case(rng)
+    ks = [1, 3, 10]
+    ref_mrr = cm.mrr(qrels, run, ks)
+    ref_cap = cm.recall_cap(qrels, run, ks)
+    ref_hole = cm.hole(qrels, run, ks)
+    ref_acc = cm.top_k_accuracy(qrels, run, ks)
+    for k in ks:
+        # reference rounds to 5 decimals
+        assert abs(mrr_at_k(qrels, run, k) - ref_mrr[f"MRR@{k}"]) < 1e-5
+        assert abs(recall_cap_at_k(qrels, run, k) - ref_cap[f"R_cap@{k}"]) < 1e-5
+        assert abs(hole_at_k(qrels, run, k) - ref_hole[f"Hole@{k}"]) < 1e-5
+        assert abs(top_k_accuracy(qrels, run, k) - ref_acc[f"Accuracy@{k}"]) < 1e-5
+
+
+def test_rerank_metrics_match_reference_utils_metrics(rng):
+    um = _load_ref("tevatron/utils/metrics.py", "ref_utils_metrics")
+    from dhr_tpu.eval import ndcg_reference
+
+    mmap = ["MAP", "RPrec", "MRR", "MRR@10", "NDCG"]
+    cases = [
+        (rng.random(50), rng.integers(0, 2, 50)),  # binary, some positives
+        (rng.random(30), np.zeros(30, np.int64)),  # no positives
+        (rng.random(20), rng.integers(0, 3, 20)),  # mixed graded labels
+    ]
+    ranked_all = []
+    ref_acc = np.zeros(len(mmap))
+    for scores, labels in cases:
+        order = np.asarray(scores).argsort()[::-1]
+        # reference: gt = positions of positive labels, pred = ranked positions
+        gt = set(np.where(np.asarray(labels) > 0)[0].tolist())
+        ref_acc += um.metrics(gt=gt, pred=order, metrics_map=mmap)
+        ranked_all.append(np.asarray(labels)[order])
+    ours = rerank_metrics(ranked_all, reference_compat=True)
+    ref = ref_acc / len(cases)
+    for i, name in enumerate(mmap):
+        assert abs(ours[name] - ref[i]) < 1e-6, (name, ours[name], ref[i])
+    # sanity: the graded case is where reference_compat differs from default
+    assert ndcg_reference(ranked_all[2]) != ndcg_from_ranked(ranked_all[2]) or (
+        (ranked_all[2] > 0).sum() == 0
+    )
