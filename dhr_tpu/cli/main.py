@@ -93,6 +93,19 @@ def cmd_prepare_train(args):
 # ------------------------------------------------------------------ train --
 
 
+def _check_special_ids(args, vocab_size: int) -> None:
+    """Out-of-vocab [CLS]/[SEP] ids silently corrupt the embedding lookup
+    (XLA clamps/garbage, the loss goes NaN) — fail loudly instead."""
+    for name in ("cls_token_id", "sep_token_id"):
+        tid = getattr(args, name, None)
+        if tid is not None and tid >= vocab_size:
+            raise SystemExit(
+                f"--{name.replace('_', '-')}={tid} is out of range for "
+                f"vocab_size={vocab_size}; pass in-vocab special-token ids "
+                "(e.g. --cls-token-id 1 --sep-token-id 2 with --tiny-vocab)"
+            )
+
+
 def _model_cfg_from_args(args):
     import jax.numpy as jnp
 
@@ -124,6 +137,12 @@ def _model_cfg_from_args(args):
         semi_aggregate=args.semi_aggregate,
         skip_mlm=args.skip_mlm,
     )
+
+
+def _model_cfg_checked(args):
+    cfg = _model_cfg_from_args(args)
+    _check_special_ids(args, cfg.encoder.vocab_size)
+    return cfg
 
 
 def _load_init_params(args, model_cfg):
@@ -198,7 +217,7 @@ def cmd_train(args):
     from dhr_tpu.train.optimizer import OptimizerConfig
     from dhr_tpu.train.step import LossConfig
 
-    model_cfg = _model_cfg_from_args(args)
+    model_cfg = _model_cfg_checked(args)
     _, init_params = _load_init_params(args, model_cfg)
     teacher_apply = None
     if args.tct:
@@ -233,6 +252,8 @@ def cmd_train(args):
             gc_q_chunks=args.gc_q_chunks,
             gc_p_chunks=args.gc_p_chunks,
             seed=args.seed,
+            profile_dir=args.profile_dir,
+            metrics_path=args.metrics_path,
         ),
         groups,
         SamplingConfig(
@@ -283,7 +304,7 @@ def cmd_encode(args):
     from dhr_tpu.data.collate import collate_encode
     from dhr_tpu.encode import EncodeConfig, Encoder
 
-    model_cfg = _model_cfg_from_args(args)
+    model_cfg = _model_cfg_checked(args)
     model, params = _load_init_params(args, model_cfg)
     enc = Encoder(
         model, params, model_cfg,
@@ -405,7 +426,8 @@ def cmd_search(args):
     if args.shard_over_devices and len(jax.devices()) > 1:
         mesh = make_mesh(axis="index")
     searcher = Searcher(
-        DeviceIndex.from_packed(packed, mesh=mesh),
+        DeviceIndex.from_packed(packed, mesh=mesh,
+                                value_dtype=_value_dtype(args.value_dtype)),
         SearchConfig(
             topk=args.topk,
             mode="ip" if args.ip else "gip",
@@ -420,6 +442,15 @@ def cmd_search(args):
     results, scores = searcher.search_run(qids, qv, qi)
     write_run(args.output, results, scores, run_name=args.run_name)
     logger.info("wrote %s (%d queries)", args.output, len(results))
+
+
+def _value_dtype(name: str | None):
+    """None keeps DeviceIndex's default (bf16 on-device; int8 stays int8)."""
+    if name is None:
+        return None
+    import jax.numpy as jnp
+
+    return {"bf16": jnp.bfloat16, "f16": jnp.float16, "f32": jnp.float32}[name]
 
 
 def cmd_serve(args):
@@ -486,7 +517,7 @@ def cmd_rerank_eval(args):
     from dhr_tpu.data.examples import read_jsonl
     from dhr_tpu.eval.rerank import evaluate_rerank, make_pair_scorer
 
-    model_cfg = _model_cfg_from_args(args)
+    model_cfg = _model_cfg_checked(args)
     model, params = _load_init_params(args, model_cfg)
     scorer = make_pair_scorer(model, params, model_cfg,
                               remove_dims=args.remove_dims)
@@ -545,7 +576,7 @@ def cmd_beir(args):
     from dhr_tpu.eval.beir import evaluate_beir
     from dhr_tpu.retrieval import SearchConfig
 
-    model_cfg = _model_cfg_from_args(args)
+    model_cfg = _model_cfg_checked(args)
     model, params = _load_init_params(args, model_cfg)
     enc = Encoder(
         model, params, model_cfg,
@@ -644,6 +675,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of query chunks per grad-cache step (the "
                         "reference's gc_q_chunk_size is a chunk SIZE; this "
                         "is a chunk COUNT: size = batch / chunks)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace here")
+    p.add_argument("--metrics-path", default=None,
+                   help="append per-log-interval train metrics JSONL here")
     p.add_argument("--gc-p-chunks", type=int, default=8,
                    help="number of passage chunks per grad-cache step")
     p.set_defaults(_subparser=p, fn=cmd_train)
@@ -686,6 +721,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--IP", dest="ip", action="store_true")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--agip-topk", type=int, default=10000)
+    p.add_argument(
+        "--value-dtype", default=None, choices=["bf16", "f16", "f32"],
+        help="on-device value plane dtype (default: bf16 for float planes, "
+             "the TPU-native width; f32 for exact score parity runs)",
+    )
     p.add_argument("--lamda", type=float, default=1.0)
     p.add_argument(
         "--max-important-dims", type=int, default=128,
@@ -711,6 +751,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--IP", dest="ip", action="store_true")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--agip-topk", type=int, default=10000)
+    p.add_argument(
+        "--value-dtype", default=None, choices=["bf16", "f16", "f32"],
+        help="on-device value plane dtype (default: bf16 for float planes, "
+             "the TPU-native width; f32 for exact score parity runs)",
+    )
     p.add_argument("--lamda", type=float, default=1.0)
     p.add_argument(
         "--max-important-dims", type=int, default=128,

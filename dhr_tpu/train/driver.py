@@ -48,6 +48,7 @@ class RunConfig:
     gc_q_chunks: int = 4
     gc_p_chunks: int = 8
     profile_dir: str | None = None
+    metrics_path: str | None = None  # per-interval metrics JSONL for dashboards
 
 
 def run_training(
@@ -111,29 +112,55 @@ def run_training(
         key = replicate(rng, mesh)
         start_step = int(jax.device_get(state.step))
         loader.global_step = start_step
+        # The step counter is tracked HOST-SIDE and device losses are
+        # buffered as unfetched device arrays: fetching either per step
+        # forces a host<->device round-trip against every step (a ~31 ms
+        # relay sync vs a ~130 ms step on the dev rig — ~25% overhead).
+        # Everything syncs once per log interval instead.
+        gstep = start_step
         losses = []
+        metrics_f = open(run_cfg.metrics_path, "a") if run_cfg.metrics_path \
+            else None
+        run_t0 = time.time()
+
+        def log_interval(epoch):
+            nonlocal t0
+            vals = [float(x) for x in jax.device_get(losses)]
+            rate = len(vals) / max(time.time() - t0, 1e-9)
+            loss_mean = float(np.mean(vals)) if vals else float("nan")
+            logger.info(
+                "step %d loss %.4f (%.2f steps/s)", gstep, loss_mean, rate
+            )
+            if metrics_f is not None:
+                import json
+
+                metrics_f.write(json.dumps({
+                    "step": gstep,
+                    "epoch": epoch,
+                    "loss": loss_mean,
+                    "steps_per_sec": round(rate, 4),
+                    "wall_s": round(time.time() - run_t0, 3),
+                }) + "\n")
+                metrics_f.flush()
+            losses.clear()
+            t0 = time.time()
+
         t0 = time.time()
         if run_cfg.profile_dir:
             jax.profiler.start_trace(run_cfg.profile_dir)
         try:
             for epoch in range(run_cfg.num_epochs):
                 for batch in loader.epoch(epoch):
-                    gstep = int(jax.device_get(state.step))
                     dev_batch = shard_batch(batch, mesh)
                     state, metrics = step_fn(state, dev_batch, key)
-                    losses.append(float(metrics["loss"]))
-                    if (gstep + 1) % run_cfg.log_steps == 0:
-                        rate = run_cfg.log_steps / max(time.time() - t0, 1e-9)
-                        logger.info(
-                            "step %d loss %.4f (%.2f steps/s)",
-                            gstep + 1, float(np.mean(losses)), rate,
-                        )
-                        losses.clear()
-                        t0 = time.time()
-                    if run_cfg.ckpt_dir and (
-                        (gstep + 1) % run_cfg.save_steps == 0
-                    ):
+                    losses.append(metrics["loss"])  # device array, no sync
+                    gstep += 1
+                    if gstep % run_cfg.log_steps == 0:
+                        log_interval(epoch)
+                    if run_cfg.ckpt_dir and gstep % run_cfg.save_steps == 0:
                         save_train_state(run_cfg.ckpt_dir, state)
+            if losses:
+                log_interval(run_cfg.num_epochs - 1)
         except Exception:
             # failure recovery the reference lacks (its resume is a TODO):
             # persist the last good state so the run restarts where it died
@@ -148,6 +175,8 @@ def run_training(
         finally:
             if run_cfg.profile_dir:
                 jax.profiler.stop_trace()
+            if metrics_f is not None:
+                metrics_f.close()
     if run_cfg.ckpt_dir:
         save_train_state(run_cfg.ckpt_dir, state)
     return state

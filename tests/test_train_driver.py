@@ -89,3 +89,24 @@ def test_hf_export_roundtrip(rng, tmp_path):
 
     assert os.path.exists(os.path.join(out, "TermWeightTrans.pt"))
     assert os.path.exists(os.path.join(out, "pooler.pt"))
+
+
+def test_metrics_jsonl(rng, tmp_path):
+    """Per-interval metrics land in the JSONL file; the loop itself never
+    fetches per step (host-side step counter + buffered device losses)."""
+    import dataclasses
+    import json
+
+    groups = make_groups(rng)
+    model_cfg, loss_cfg, opt_cfg, run_cfg, sampling = configs(tmp_path)
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    run_cfg = dataclasses.replace(run_cfg, metrics_path=metrics_path,
+                                  log_steps=2)
+    state = run_training(model_cfg, loss_cfg, opt_cfg, run_cfg, groups,
+                         sampling)
+    assert int(jax.device_get(state.step)) == 3
+    rows = [json.loads(line) for line in open(metrics_path)]
+    # 3 steps at log_steps=2 -> interval at step 2 + final flush at step 3
+    assert [r["step"] for r in rows] == [2, 3]
+    assert all(np.isfinite(r["loss"]) for r in rows)
+    assert all(r["steps_per_sec"] > 0 for r in rows)

@@ -1,0 +1,489 @@
+"""Run the ACTUAL reference pipeline (torch CPU) as a parity + timing oracle.
+
+Real MS MARCO data and published checkpoints are unreachable from this
+environment (zero egress), so the real-data parity claim is closed by proxy:
+export a dhr_tpu checkpoint to the reference's HF layout, push the SAME
+tokenized corpus/queries through
+
+  1. the reference's ``tevatron.driver.encode`` (torch), and
+  2. the reference's ``retrieval.gip_retrieval`` engine (torch),
+
+and through our own ``encode``/``search`` verbs, then compare array-for-array
+(encode) and rank-for-rank (search).  Drift anywhere in model import, special
+tokens, densify, packing, theta/rerank, or TREC writing shows up as a diff.
+The same harness times the reference engine on this host to anchor
+``vs_baseline`` with a *measured* point (reference gip_retrieval.py:255-261
+CPU path; VERDICT round-1 item 7).
+
+The reference is executed from /root/reference (read-only) via subprocesses;
+two import shims (pickle5 -> stdlib pickle, faiss -> empty module) satisfy
+top-of-file imports whose functionality the exercised code paths never use.
+
+Usage:  python tools/reference_harness.py [--n-corpus 2000] [--out report.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+REFERENCE = os.environ.get("DHR_REFERENCE_DIR", "/root/reference")
+
+VOCAB_SIZE = 30522
+CLS_ID, SEP_ID = 101, 102
+REMOVE_DIMS = 570  # wordpiece omission (reference densify_corpus.py:17-21)
+
+
+def reference_available() -> bool:
+    return os.path.exists(os.path.join(REFERENCE, "tevatron", "driver", "encode.py"))
+
+
+# --------------------------------------------------------------------------
+# fixtures: shims, tokenizer files, checkpoint, corpus
+# --------------------------------------------------------------------------
+
+
+def write_shims(d: str) -> str:
+    shims = os.path.join(d, "shims")
+    os.makedirs(shims, exist_ok=True)
+    with open(os.path.join(shims, "pickle5.py"), "w") as f:
+        f.write("from pickle import *  # stdlib pickle satisfies pickle5 uses\n")
+    with open(os.path.join(shims, "faiss.py"), "w") as f:
+        f.write("# import-only shim: exercised reference paths never call faiss\n")
+    return shims
+
+
+def write_tokenizer_files(ckpt_dir: str) -> None:
+    """BERT-layout vocab.txt so the reference's AutoTokenizer(use_fast=False)
+    resolves [CLS]/[SEP] etc. at the standard wordpiece ids."""
+    tokens = ["[PAD]"]
+    tokens += [f"[unused{i}]" for i in range(99)]
+    tokens += ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    tokens += [f"t{i:05d}" for i in range(VOCAB_SIZE - len(tokens))]
+    with open(os.path.join(ckpt_dir, "vocab.txt"), "w") as f:
+        f.write("\n".join(tokens) + "\n")
+    with open(os.path.join(ckpt_dir, "tokenizer_config.json"), "w") as f:
+        json.dump({"tokenizer_class": "DistilBertTokenizer",
+                   "do_lower_case": True, "model_max_length": 512}, f)
+
+
+def build_checkpoint(ckpt_dir: str, seed: int = 0, hidden: int = 128,
+                     layers: int = 2, heads: int = 4, ff: int = 256,
+                     proj_dim: int = 128, dlr_out_dim: int = 768):
+    """Random-init dhr_tpu DHR model exported to the reference's HF layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
+    from dhr_tpu.models.transformer import EncoderConfig
+    from dhr_tpu.train.checkpoint import export_hf_checkpoint
+
+    cfg = RetrieverConfig(
+        model_type="dhr",
+        encoder=EncoderConfig(
+            vocab_size=VOCAB_SIZE, hidden_size=hidden, num_layers=layers,
+            num_heads=heads, intermediate_size=ff,
+            max_position_embeddings=512, type_vocab_size=0,
+            dtype=jnp.float32,
+        ),
+        add_pooler=True,
+        projection_dim=proj_dim,
+        dlr_out_dim=dlr_out_dim,
+        combine_cls=True,
+    )
+    model = BiEncoder(cfg)
+    dummy = {
+        "input_ids": np.zeros((2, 8), np.int32),
+        "attention_mask": np.ones((2, 8), np.int32),
+    }
+    jb = jax.tree.map(jnp.asarray, dummy)
+    params = model.init(jax.random.PRNGKey(seed), query=jb, passage=jb)["params"]
+    export_hf_checkpoint(ckpt_dir, params, cfg, arch="distilbert")
+    write_tokenizer_files(ckpt_dir)
+    return cfg, params
+
+
+def write_corpus(path: str, n: int, seed: int, min_len=20, max_len=100,
+                 prefix="d") -> list[str]:
+    rng = np.random.default_rng(seed)
+    ids = []
+    with open(path, "w") as f:
+        for i in range(n):
+            tid = f"{prefix}{i}"
+            ids.append(tid)
+            L = int(rng.integers(min_len, max_len + 1))
+            toks = rng.integers(999, VOCAB_SIZE, L).tolist()
+            f.write(json.dumps({"text_id": tid, "text": toks}) + "\n")
+    return ids
+
+
+# --------------------------------------------------------------------------
+# reference subprocesses
+# --------------------------------------------------------------------------
+
+
+def _ref_env(work: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REFERENCE + os.pathsep + write_shims(work)
+    env["HF_DATASETS_OFFLINE"] = "1"
+    env["TRANSFORMERS_OFFLINE"] = "1"
+    env["HF_HOME"] = os.path.join(work, "hf_home")
+    env["TOKENIZERS_PARALLELISM"] = "false"
+    # keep jax/axon entirely out of the reference's process
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _run(cmd: list[str], env: dict, cwd: str | None = None) -> str:
+    proc = subprocess.run(cmd, env=env, cwd=cwd, text=True,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference subprocess failed (rc={proc.returncode}):\n"
+            + "\n".join(proc.stdout.splitlines()[-40:])
+        )
+    return proc.stdout
+
+
+def run_reference_encode(work: str, ckpt: str, jsonl: str, out_pickle: str,
+                         is_query: bool, dlr_out_dim: int = 768,
+                         batch_size: int = 16) -> str:
+    cmd = [
+        sys.executable, "-m", "tevatron.driver.encode",
+        "--output_dir", os.path.join(work, "hf_out"),
+        "--model_name_or_path", ckpt,
+        "--model", "dhr",
+        "--combine_cls",
+        "--dlr_out_dim", str(dlr_out_dim),
+        "--per_device_eval_batch_size", str(batch_size),
+        "--encode_in_path", jsonl,
+        "--encoded_save_path", out_pickle,
+        "--dataset_proc_num", "1",
+        "--dataloader_num_workers", "0",
+    ]
+    if is_query:
+        cmd.append("--encode_is_qry")
+    return _run(cmd, _ref_env(work))
+
+
+def run_reference_gip(work: str, query_pickle: str, index_pickle: str,
+                      emb_dim: int, theta: float, topk: int,
+                      agip_topk: int, rerank: bool,
+                      brute_force: bool = False) -> tuple[str, float, str]:
+    """Returns (trec_path, measured_s_per_query, stdout)."""
+    outdir = os.path.join(work, f"ref_run_{theta}_{rerank}_{brute_force}")
+    os.makedirs(outdir, exist_ok=True)
+    cmd = [
+        sys.executable, os.path.join(REFERENCE, "retrieval", "gip_retrieval.py"),
+        "--query_emb_path", query_pickle,
+        "--index_path", index_pickle,
+        "--emb_dim", str(emb_dim),
+        "--theta", str(theta),
+        "--topk", str(topk),
+        "--agip_topk", str(agip_topk),
+    ]
+    if rerank:
+        cmd.append("--rerank")
+    if brute_force:
+        cmd.append("--brute_force")
+    out = _run(cmd, _ref_env(work), cwd=outdir)
+    m = re.search(r"\(([\d.]+) s/query\)", out)
+    spq = float(m.group(1)) if m else float("nan")
+    return os.path.join(outdir, "result.trec"), spq, out
+
+
+# --------------------------------------------------------------------------
+# our side (subprocess through the CLI so the whole user surface is tested)
+# --------------------------------------------------------------------------
+
+
+def _our_env() -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def run_our_encode(work: str, ckpt: str, jsonl: str, out: str, is_query: bool,
+                   dlr_out_dim: int = 768, batch_size: int = 16) -> str:
+    cmd = [
+        sys.executable, "-m", "dhr_tpu", "encode",
+        "--model", "dhr",
+        "--model-name-or-path", ckpt,
+        "--add-pooler",
+        "--projection-dim", "128",
+        "--dlr-out-dim", str(dlr_out_dim),
+        "--input", jsonl,
+        "--output", out,
+        "--batch-size", str(batch_size),
+    ]
+    if is_query:
+        cmd.append("--encode-is-qry")
+    return _run(cmd, _our_env())
+
+
+def run_our_search(work: str, index_npz: str, query_pickle: str, out: str,
+                   theta: float, topk: int, agip_topk: int, rerank: bool,
+                   brute_force: bool = False) -> str:
+    cmd = [
+        sys.executable, "-m", "dhr_tpu", "search",
+        "--index-path", index_npz,
+        "--query-path", query_pickle,
+        "--output", out,
+        "--theta", str(theta),
+        "--topk", str(topk),
+        "--agip-topk", str(agip_topk),
+        "--run-name", "h2oloo",
+        # exact-parity settings: f32 on-device values (no bf16 rounding) and
+        # a stage-1 scan long enough to cover every above-theta dim, like the
+        # reference's full (qv > theta) gather
+        "--value-dtype", "f32",
+        "--max-important-dims", "4096",
+    ]
+    if rerank:
+        cmd.append("--rerank")
+    if brute_force:
+        cmd.append("--brute-force")
+    return _run(cmd, _our_env())
+
+
+# --------------------------------------------------------------------------
+# comparisons
+# --------------------------------------------------------------------------
+
+
+def load_pickle(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def read_trec(path: str) -> dict[str, list[tuple[str, float]]]:
+    out: dict[str, list[tuple[str, float]]] = {}
+    with open(path) as f:
+        for line in f:
+            qid, _, docid, _rank, score, _ = line.split()
+            out.setdefault(qid, []).append((docid, float(score)))
+    return out
+
+
+def compare_rankings(ref: dict, ours: dict, score_atol=1e-3,
+                     score_rtol=1e-5) -> dict:
+    """Rank-for-rank comparison tolerant of equal-score tie reordering."""
+    assert set(ref) == set(ours), (sorted(ref)[:5], sorted(ours)[:5])
+    n_rows = n_exact = 0
+    max_score_diff = 0.0
+    mismatches = []
+    for qid in ref:
+        r, o = ref[qid], ours[qid]
+        n = min(len(r), len(o))
+        # group-by-score: within a tie group order is implementation-defined
+        for i in range(n):
+            n_rows += 1
+            tol = score_atol + score_rtol * abs(r[i][1])
+            if r[i][0] == o[i][0]:
+                n_exact += 1
+                max_score_diff = max(max_score_diff, abs(r[i][1] - o[i][1]))
+            else:
+                # tie tolerance: same score bucket both sides
+                if abs(r[i][1] - o[i][1]) <= tol:
+                    n_exact += 1
+                else:
+                    mismatches.append((qid, i, r[i], o[i]))
+    return {
+        "rows": n_rows,
+        "exact_or_tie": n_exact,
+        "mismatch": len(mismatches),
+        "first_mismatches": mismatches[:5],
+        "max_score_diff_on_matches": max_score_diff,
+    }
+
+
+# --------------------------------------------------------------------------
+# the full parity run
+# --------------------------------------------------------------------------
+
+
+def run_parity(work: str, n_corpus: int = 2000, n_queries: int = 16,
+               topk: int = 100, agip_topk: int = 500,
+               theta: float = 0.3) -> dict:
+    os.makedirs(work, exist_ok=True)
+    topk = min(topk, n_corpus)
+    agip_topk = min(agip_topk, n_corpus)
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    report: dict = {"config": {
+        "n_corpus": n_corpus, "n_queries": n_queries, "topk": topk,
+        "agip_topk": agip_topk, "theta": theta,
+    }}
+
+    build_checkpoint(ckpt)
+    corpus_jsonl = os.path.join(work, "corpus.jsonl")
+    query_jsonl = os.path.join(work, "queries.jsonl")
+    write_corpus(corpus_jsonl, n_corpus, seed=1, prefix="d")
+    write_corpus(query_jsonl, n_queries, seed=2, min_len=4, max_len=12,
+                 prefix="q")
+
+    # ---- encode both sides --------------------------------------------
+    ref_corpus_pkl = os.path.join(work, "ref_corpus.pt")
+    ref_query_pkl = os.path.join(work, "ref_query.pt")
+    run_reference_encode(work, ckpt, corpus_jsonl, ref_corpus_pkl, False)
+    run_reference_encode(work, ckpt, query_jsonl, ref_query_pkl, True)
+
+    our_corpus = os.path.join(work, "our_corpus.npz")
+    our_query = os.path.join(work, "our_query")
+    run_our_encode(work, ckpt, corpus_jsonl, our_corpus, False)
+    run_our_encode(work, ckpt, query_jsonl, our_query, True)
+
+    ref_cv, ref_ci, ref_cids = load_pickle(ref_corpus_pkl)
+    with np.load(our_corpus) as z:
+        our_cv, our_ci = z["values"], z["indices"]
+    assert [str(i) for i in ref_cids] == [f"d{i}" for i in range(n_corpus)]
+    dlr = ref_ci.shape[1]
+    vdiff = np.abs(ref_cv.astype(np.float32) - our_cv.astype(np.float32))
+    denom = np.maximum(np.abs(ref_cv.astype(np.float32)), 0.5)
+    idx_mismatch = int((ref_ci != our_ci).sum())
+    report["encode_corpus"] = {
+        "rows": int(ref_cv.shape[0]),
+        "value_dim": int(ref_cv.shape[1]),
+        "max_abs_value_diff": float(vdiff.max()),
+        "max_rel_value_diff": float((vdiff / denom).max()),
+        "mean_abs_value_diff": float(vdiff.mean()),
+        "index_plane_mismatch_frac": idx_mismatch / ref_ci.size,
+    }
+
+    ref_qv, ref_qi, ref_qids = load_pickle(ref_query_pkl)
+    with np.load(our_query + ".npz") as z:
+        our_qv, our_qi = z["values"], z["indices"]
+    qdiff = np.abs(ref_qv.astype(np.float32) - our_qv.astype(np.float32))
+    report["encode_query"] = {
+        "rows": int(ref_qv.shape[0]),
+        "max_abs_value_diff": float(qdiff.max()),
+        "index_plane_mismatch_frac": float((ref_qi != our_qi).mean()),
+    }
+
+    # every index-plane disagreement must be a float-level near-tie: the two
+    # colliding slice candidates carry (numerically) the same max value, so
+    # both argmax answers are correct
+    mism = ref_ci != our_ci
+    if mism.any():
+        tie_gap = np.abs(
+            ref_cv[:, :dlr].astype(np.float32) - our_cv[:, :dlr].astype(np.float32)
+        )[mism]
+        report["encode_corpus"]["index_mismatch_max_value_gap"] = float(
+            tie_gap.max()
+        )
+
+    # a random-init encoder spreads query mass thinly; pick theta so a
+    # realistic number of dims (~96 < the 128-dim stage-1 default cap)
+    # clears it, mirroring the trained-model operating point
+    qlex = ref_qv[:, :dlr].astype(np.float32)
+    kth = np.sort(qlex, axis=1)[:, -96]
+    theta = float(np.median(kth))
+    report["config"]["theta"] = theta
+
+    # ---- search both sides on the REFERENCE's arrays -------------------
+    # (isolates search parity from encode parity)
+    our_index = os.path.join(work, "our_index.npz")
+    _run([sys.executable, "-m", "dhr_tpu", "index",
+          "--inputs", ref_corpus_pkl, "--output", our_index,
+          "--lex-dim", str(dlr)], _our_env())
+
+    for name, kw in (
+        ("brute", dict(theta=0.0, rerank=False, brute_force=True)),
+        ("theta_rerank", dict(theta=theta, rerank=True, brute_force=False)),
+    ):
+        ref_trec, spq, _ = run_reference_gip(
+            work, ref_query_pkl, ref_corpus_pkl, emb_dim=dlr,
+            topk=topk, agip_topk=agip_topk, **kw,
+        )
+        our_trec = os.path.join(work, f"our_{name}.trec")
+        run_our_search(work, our_index, ref_query_pkl, our_trec,
+                       topk=topk, agip_topk=agip_topk, **kw)
+        cmp = compare_rankings(read_trec(ref_trec), read_trec(our_trec))
+        cmp["reference_s_per_query"] = spq
+        report[f"search_{name}"] = cmp
+
+    return report
+
+
+def run_reference_timing(work: str, n_rows: int = 100_000, n_queries: int = 16,
+                         dlr: int = 768, cls_dim: int = 128,
+                         theta: float = 0.3, topk: int = 1000,
+                         agip_topk: int = 10_000) -> dict:
+    """Measured reference-engine throughput on synthetic planes at the
+    MS MARCO operating point (theta=0.3, rerank, agip_topk=10k, top-1000).
+    Single CPU core on this host — an anchor, not a GPU-parity claim."""
+    os.makedirs(work, exist_ok=True)
+    rng = np.random.default_rng(0)
+
+    def planes(n):
+        # same sparse-positive profile as bench.py's synthetic index, so the
+        # reference engine sees the same above-theta workload per query
+        lex = np.exp(-4.0 * rng.random((n, dlr), np.float32))
+        cls = (rng.standard_normal((n, cls_dim)) * 0.3).astype(np.float32)
+        return np.concatenate([lex, cls], axis=1)
+
+    cv = planes(n_rows).astype(np.float16)
+    ci = rng.integers(0, 39, (n_rows, dlr)).astype(np.uint8)
+    qv = planes(n_queries)
+    qi = rng.integers(0, 39, (n_queries, dlr)).astype(np.int64)
+    index_pkl = os.path.join(work, "timing_index.pt")
+    query_pkl = os.path.join(work, "timing_query.pt")
+    with open(index_pkl, "wb") as f:
+        pickle.dump([cv, ci, [f"d{i}" for i in range(n_rows)]], f, protocol=4)
+    with open(query_pkl, "wb") as f:
+        pickle.dump([qv, qi, [f"q{i}" for i in range(n_queries)]], f, protocol=4)
+    t0 = time.time()
+    _, spq, out = run_reference_gip(
+        work, query_pkl, index_pkl, emb_dim=dlr, theta=theta, topk=topk,
+        agip_topk=agip_topk, rerank=True,
+    )
+    return {
+        "n_rows": n_rows,
+        "n_queries": n_queries,
+        "s_per_query": spq,
+        "qps": 1.0 / spq if spq > 0 else float("nan"),
+        "wall_s_total": time.time() - t0,
+        "operating_point": f"theta={theta}, rerank@{agip_topk}, top-{topk}",
+        "hardware": "1 CPU core (torch.set_num_threads(1), this host)",
+    }
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-corpus", type=int, default=2000)
+    ap.add_argument("--n-queries", type=int, default=16)
+    ap.add_argument("--timing-rows", type=int, default=100_000)
+    ap.add_argument("--skip-timing", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    work = args.workdir or tempfile.mkdtemp(prefix="dhr_parity_")
+    print(f"workdir: {work}", file=sys.stderr)
+    report = run_parity(work, n_corpus=args.n_corpus, n_queries=args.n_queries)
+    if not args.skip_timing:
+        report["reference_timing"] = run_reference_timing(
+            os.path.join(work, "timing"), n_rows=args.timing_rows)
+    text = json.dumps(report, indent=1)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+
+
+if __name__ == "__main__":
+    main()
