@@ -18,6 +18,13 @@ it: its per-query loop gathers ~30-50 important columns from row-major arrays
 (~0.8 GB strided reads/query) plus a 10k-candidate rerank, bounding it to low
 hundreds of q/s on an A100-class part before Python overhead.
 
+MEASURED anchor (round 2, tools/reference_harness.py + docs/parity_run.md):
+the reference's own gip_retrieval CPU path at the same operating point and
+value distribution runs 1.38 q/s on a 100k-row index on one CPU core of this
+host (0.084 q/s row-scaled to this bench's 1.64M rows; its 72-thread CPU
+config would be ~6 q/s at perfect scaling).  The GPU estimate above remains
+an estimate; the CPU point is a measurement, reported in the detail block.
+
 Prints exactly one JSON line.
 """
 
@@ -41,7 +48,10 @@ N_QUERIES = 256
 QUERY_BATCH = 64
 THETA = 0.3
 MAX_IMPORTANT = 48
-REFERENCE_QPS_ESTIMATE = 100.0  # see module docstring
+REFERENCE_QPS_ESTIMATE = 100.0  # GPU estimate; see module docstring
+# measured: reference gip_retrieval CPU path, 100k rows, 1 core, theta=0.3
+# + rerank@10k (tools/reference_harness.py run, docs/parity_run.md)
+REFERENCE_QPS_MEASURED_CPU_100K = 1.38
 REFERENCE_CORPUS_ROWS = 8_841_823
 
 
@@ -167,6 +177,12 @@ def main():
             "qps_8.8M_equivalent": round(qps_msmarco_equiv, 2),
             "topk_returned": int(rows.shape[1]),
             "encode_passages_per_sec": round(encode_pps, 1),
+            "reference_cpu_qps_measured_100k_rows_1core": (
+                REFERENCE_QPS_MEASURED_CPU_100K
+            ),
+            "vs_reference_cpu_1core_row_scaled": round(
+                qps / (REFERENCE_QPS_MEASURED_CPU_100K * 100_000 / N_ROWS), 1
+            ),
         },
     }
     print(json.dumps(result))

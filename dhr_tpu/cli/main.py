@@ -331,7 +331,17 @@ def cmd_encode(args):
             ]
             yield collate_encode(chunk_ids, toks, max_len)
 
-    if args.encode_is_qry:
+    if model_cfg.model_type == "colbert":
+        role = "query" if args.encode_is_qry else "passage"
+        reps, out_ids = enc.encode_tokens(batches(), role)
+        np.savez(args.output, token=reps)
+        with open(args.output + ".ids.json", "w") as f:
+            json.dump(list(map(str, out_ids)), f)
+        logger.info(
+            "encoded %d %ss -> %s (token reps %s)",
+            len(out_ids), role, args.output, reps.shape,
+        )
+    elif args.encode_is_qry:
         qv, qi, qids = enc.encode_queries(batches())
         np.savez(
             args.output, values=qv,
@@ -534,6 +544,54 @@ def cmd_rerank_eval(args):
         reference_compat=args.reference_ndcg,
     )
     print(json.dumps(out, indent=1))
+
+
+def cmd_colbert_score(args):
+    """Offline MaxSim scoring of saved ColBERT token reps.
+
+    Closes the reference gap: ColBERTForInference
+    (ColBERT/modeling.py:340-442) scores only in-process as a TCT teacher.
+    Reads 'encode --model colbert' outputs plus a (qid, pid[, ...]) TSV of
+    candidate pairs; writes 'qid<TAB>pid<TAB>score' rows (teacher scores for
+    KD binning, or a rerank run via --trec)."""
+    from dhr_tpu.retrieval.colbert import score_pairs
+
+    def load_reps(path):
+        with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+            reps = z["token"]
+        with open(path + ".ids.json") as f:
+            ids = json.load(f)
+        return reps, ids
+
+    q_reps, qids = load_reps(args.query_reps)
+    p_reps, pids = load_reps(args.passage_reps)
+    pairs = []
+    with open(args.pairs) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                pairs.append((parts[0], parts[1]))
+    scores = score_pairs(q_reps, qids, p_reps, pids, pairs,
+                         batch_size=args.batch_size)
+    if args.trec:
+        from collections import defaultdict
+
+        from dhr_tpu.retrieval.trec import write_run
+
+        by_q = defaultdict(list)
+        for (qid, pid), s in zip(pairs, scores):
+            by_q[qid].append((pid, float(s)))
+        results, score_map = {}, {}
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda x: -x[1])
+            results[qid] = [p for p, _ in rows]
+            score_map[qid] = [s for _, s in rows]
+        write_run(args.output, results, score_map, run_name=args.run_name)
+    else:
+        with open(args.output, "w") as f:
+            for (qid, pid), s in zip(pairs, scores):
+                f.write(f"{qid}\t{pid}\t{s}\n")
+    logger.info("scored %d pairs -> %s", len(pairs), args.output)
 
 
 def cmd_beir_preprocess(args):
@@ -793,6 +851,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--p-max-len", type=int, default=512)
     p.add_argument("--config", default=None)
     p.set_defaults(_subparser=p, fn=cmd_beir_preprocess)
+
+    p = sub.add_parser("colbert-score")
+    p.add_argument("--query-reps", required=True,
+                   help="npz from 'encode --model colbert --encode-is-qry'")
+    p.add_argument("--passage-reps", required=True,
+                   help="npz from 'encode --model colbert'")
+    p.add_argument("--pairs", required=True,
+                   help="TSV of qid<TAB>pid candidate pairs")
+    p.add_argument("--output", required=True)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--trec", action="store_true",
+                   help="write a TREC run instead of a scores TSV")
+    p.add_argument("--run-name", default="dhr_tpu")
+    p.add_argument("--config", default=None)
+    p.set_defaults(_subparser=p, fn=cmd_colbert_score)
 
     p = sub.add_parser("rerank-eval")
     _add_model_args(p)

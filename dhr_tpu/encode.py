@@ -95,6 +95,14 @@ class Encoder:
                         [vals, reps.semantic.astype(vals.dtype)], axis=-1
                     )
                 return vals.astype(jnp.float16), idxs.astype(jnp.uint8)
+            if cfg.model_type == "colbert":
+                # full padded token reps, [CLS] at position 0 and masked rows
+                # zeroed — the offline layout of the reference's
+                # ColBERTForInference encode_query/passage splits
+                # (ColBERT/modeling.py:221-252); queries are already
+                # length-normalized x32 in the head
+                tok = jnp.concatenate([reps.token_cls, reps.token], axis=1)
+                return tok.astype(jnp.float16), None
             raise ValueError(
                 f"encode does not support model_type={cfg.model_type}"
             )
@@ -153,6 +161,11 @@ class Encoder:
 
     def encode_corpus(self, batches: Iterable[dict]) -> PackedIndex:
         """Encode an iterable of ``{ids, input_ids, attention_mask}`` batches."""
+        if self.cfg.model_type == "colbert":
+            raise ValueError(
+                "colbert emits (N, L, D) token reps, not packed planes; use "
+                "encode_tokens()"
+            )
         values, indices, ids = self._run_batches(self._encode_passage, batches)
         lex = self.lex_dim if self.lex_dim > 0 else values.shape[1]
         return PackedIndex(
@@ -164,7 +177,24 @@ class Encoder:
 
     def encode_queries(self, batches: Iterable[dict]):
         """Returns ``(values, indices_or_None, qids)`` (reference query pickle)."""
+        if self.cfg.model_type == "colbert":
+            raise ValueError(
+                "colbert emits (N, L, D) token reps, not packed planes; use "
+                "encode_tokens()"
+            )
         return self._run_batches(self._encode_query, batches)
+
+    def encode_tokens(self, batches: Iterable[dict], role: str):
+        """ColBERT late-interaction reps: ``(reps (N, L, D) f16, ids)``.
+
+        The reference's ColBERTForInference only encodes in-process for the
+        TCT teacher; this is the offline path it lacks — token reps padded to
+        the role's max length with masked rows zeroed, scoreable standalone
+        via :mod:`dhr_tpu.retrieval.colbert`.
+        """
+        fn = self._encode_query if role == "query" else self._encode_passage
+        reps, _, ids = self._run_batches(fn, batches)
+        return reps, ids
 
 
 def iter_batches(ids, input_ids, attention_mask, batch_size: int):

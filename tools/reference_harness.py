@@ -83,6 +83,10 @@ def build_checkpoint(ckpt_dir: str, seed: int = 0, hidden: int = 128,
                      proj_dim: int = 128, dlr_out_dim: int = 768):
     """Random-init dhr_tpu DHR model exported to the reference's HF layout."""
     import jax
+
+    # the sitecustomize resets jax_platforms to "axon,cpu"; this harness must
+    # never claim the TPU (bench may hold it) — force CPU after import
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
