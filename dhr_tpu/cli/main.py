@@ -382,6 +382,8 @@ def cmd_index(args):
     from dhr_tpu.retrieval import PackedIndex
 
     index = PackedIndex.merge_glob(args.inputs, lex_dim=args.lex_dim)
+    if args.pq_m:
+        index = index.quantize_pq(m=args.pq_m)
     if args.quantize:
         index = index.quantize()
     index.save(args.output)
@@ -440,7 +442,8 @@ def cmd_search(args):
                                 value_dtype=_value_dtype(args.value_dtype)),
         SearchConfig(
             topk=args.topk,
-            mode="ip" if args.ip else "gip",
+            mode="pq" if getattr(args, "pqip", False) else (
+                "ip" if args.ip else "gip"),
             theta=0.0 if args.brute_force else args.theta,
             rerank=args.rerank,
             agip_topk=args.agip_topk,
@@ -478,7 +481,8 @@ def cmd_serve(args):
         DeviceIndex.from_packed(packed, mesh=mesh),
         SearchConfig(
             topk=args.topk,
-            mode="ip" if args.ip else "gip",
+            mode="pq" if getattr(args, "pqip", False) else (
+                "ip" if args.ip else "gip"),
             theta=0.0 if args.brute_force else args.theta,
             rerank=args.rerank,
             agip_topk=args.agip_topk,
@@ -766,6 +770,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--lex-dim", type=int, default=None)
     p.add_argument("--quantize", action="store_true")
+    p.add_argument("--pq-m", type=int, default=None,
+                   help="attach PQ codebooks with m subquantizers "
+                        "(reference quantize_index.py PQ64 = 64)")
     p.add_argument("--config", default=None)
     p.set_defaults(_subparser=p, fn=cmd_index)
 
@@ -777,6 +784,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--theta", type=float, default=0.1)
     p.add_argument("--brute-force", action="store_true")
     p.add_argument("--IP", dest="ip", action="store_true")
+    p.add_argument("--PQIP", dest="pqip", action="store_true",
+                   help="PQ-code (ADC) candidate generation, like the "
+                        "reference's faiss-PQ mode; needs 'index --pq-m'")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--agip-topk", type=int, default=10000)
     p.add_argument(
@@ -807,6 +817,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--theta", type=float, default=0.3)
     p.add_argument("--brute-force", action="store_true")
     p.add_argument("--IP", dest="ip", action="store_true")
+    p.add_argument("--PQIP", dest="pqip", action="store_true",
+                   help="PQ-code (ADC) candidate generation, like the "
+                        "reference's faiss-PQ mode; needs 'index --pq-m'")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--agip-topk", type=int, default=10000)
     p.add_argument(

@@ -18,8 +18,11 @@ TPU-first additions the reference lacks:
 - row-sharding over the device mesh ``index`` axis with per-device offsets
   (replacing the process-level ``--total_shrad/--shrad`` slicing and the
   file-based merges of retrieval/index.py / merge.result.py);
-- optional per-dim int8 quantization of the value planes (memory parity with
-  the reference's faiss PQ config, quantize_index.py:27-38).
+- optional per-dim int8 quantization of the value planes (1 byte/dim — an
+  8x cut vs f16+index planes, NOT the reference's PQ64 64 B/row budget);
+- optional PQ codebooks (``quantize_pq``): codes (N, m) u8 + centroids,
+  matching faiss ``IndexPQ(m=64, 8 bit, IP)`` bytes/row exactly
+  (quantize_index.py:27-38) for the compressed candidate-generation mode.
 
 On-disk format is ``.npz`` plus a sidecar ``.docids.json``; a compatibility
 reader ingests the reference's pickle triple ``[values, indices, ids]``.
@@ -50,6 +53,8 @@ class PackedIndex:
     docids: np.ndarray                 # (N,) str
     lex_dim: int
     value_scales: np.ndarray | None = None  # (D,) f32 when values are int8
+    pq_codes: np.ndarray | None = None       # (N, m) u8 PQ codes
+    pq_centroids: np.ndarray | None = None   # (m, 256, D/m) f32 codebooks
 
     @property
     def num_rows(self) -> int:
@@ -84,12 +89,34 @@ class PackedIndex:
         q, scales = quantize_per_dim_np(self.values)
         return dataclasses.replace(self, values=q, value_scales=scales)
 
+    def quantize_pq(self, m: int = 64, iters: int = 15,
+                    seed: int = 0) -> "PackedIndex":
+        """Attach PQ codebooks: codes (N, m) u8 + (m, 256, D/m) centroids.
+
+        Byte-for-byte the reference's faiss ``IndexPQ(dim, 64, 8, IP)``
+        storage (quantize_index.py:27-38); candidate generation scores the
+        codes (ADC), rerank uses the full planes exactly like the
+        reference's ``PQ_IP_retrieval`` (gip_retrieval.py:167-231).
+        """
+        if self.value_scales is not None:
+            raise ValueError("PQ-quantize the float index, not the int8 one")
+        from dhr_tpu.ops.pq import train_encode_pq_np
+
+        codes, centroids = train_encode_pq_np(
+            self.values.astype(np.float32), m, iters=iters, seed=seed
+        )
+        return dataclasses.replace(
+            self, pq_codes=codes, pq_centroids=centroids
+        )
+
     def slice_rows(self, start: int, stop: int) -> "PackedIndex":
         return dataclasses.replace(
             self,
             values=self.values[start:stop],
             indices=None if self.indices is None else self.indices[start:stop],
             docids=self.docids[start:stop],
+            pq_codes=None if self.pq_codes is None
+            else self.pq_codes[start:stop],
         )
 
     # -- persistence ---------------------------------------------------
@@ -101,6 +128,9 @@ class PackedIndex:
             arrays["indices"] = self.indices
         if self.value_scales is not None:
             arrays["value_scales"] = self.value_scales
+        if self.pq_codes is not None:
+            arrays["pq_codes"] = self.pq_codes
+            arrays["pq_centroids"] = self.pq_centroids
         np.savez(path, **arrays)
         with open(self._docids_path(path), "w") as f:
             json.dump([str(d) for d in self.docids], f)
@@ -112,9 +142,14 @@ class PackedIndex:
             indices = z["indices"] if "indices" in z.files else None
             lex_dim = int(z["lex_dim"])
             scales = z["value_scales"] if "value_scales" in z.files else None
+            pq_codes = z["pq_codes"] if "pq_codes" in z.files else None
+            pq_centroids = (
+                z["pq_centroids"] if "pq_centroids" in z.files else None
+            )
         with open(PackedIndex._docids_path(path)) as f:
             docids = np.asarray(json.load(f), dtype=object)
-        return PackedIndex(values, indices, docids, lex_dim, scales)
+        return PackedIndex(values, indices, docids, lex_dim, scales,
+                           pq_codes, pq_centroids)
 
     @staticmethod
     def _docids_path(path: str) -> str:
@@ -167,6 +202,8 @@ class DeviceIndex:
     lex_dim: int
     num_rows: int                    # true rows (before device-count padding)
     value_scales: jax.Array | None = None
+    pq_codes: jax.Array | None = None       # (N, m) int32 (TPU-friendly)
+    pq_centroids: jax.Array | None = None   # (m, 256, D/m) f32, replicated
     mesh: Mesh | None = None
 
     @property
@@ -267,8 +304,18 @@ class DeviceIndex:
         scales = None
         if packed.value_scales is not None:
             scales = put(packed.value_scales.astype(np.float32), P(None))
+        pq_codes = pq_centroids = None
+        if packed.pq_codes is not None:
+            pq_codes = put(
+                np.pad(packed.pq_codes, [(0, pad), (0, 0)]).astype(np.int32),
+                row_spec,
+            )
+            pq_centroids = put(
+                packed.pq_centroids.astype(np.float32), P(None, None, None)
+            )
         return DeviceIndex(
             values=dv, values_T=dvt, indices=di, indices_T=dit,
             docids=packed.docids, lex_dim=packed.lex_dim, num_rows=n,
-            value_scales=scales, mesh=mesh,
+            value_scales=scales, pq_codes=pq_codes,
+            pq_centroids=pq_centroids, mesh=mesh,
         )

@@ -29,7 +29,15 @@ Mode map (gip_retrieval.py flags -> SearchConfig):
                                    reference (gip_retrieval.py:144-148)
 - ``--lamda``                  -> lam, query CLS tail scaling at load
                                    (gip_retrieval.py:281-283)
-- faiss PQ int8 index          -> per-dim int8 value planes
+- ``--PQIP``                   -> mode="pq": ADC scoring of PQ codes for
+                                   candidates + exact GIP rerank, matching
+                                   faiss IndexPQ(m, 8, IP) bytes/row
+                                   (PQ_IP_retrieval, gip_retrieval.py:167-231)
+
+Compression options are distinct budgets, not interchangeable: per-dim int8
+value planes cost 1 B/dim (896 B/row here, an ~8x cut vs f16+u8 planes at
+search time), while PQ codes cost m B/row (64 B/row at m=64 — the
+reference's quantize_index.py budget).
 """
 
 from __future__ import annotations
@@ -53,7 +61,7 @@ INDEX_AXIS = "index"
 @dataclasses.dataclass(frozen=True)
 class SearchConfig:
     topk: int = 1000
-    mode: str = "gip"            # 'gip' | 'ip'
+    mode: str = "gip"            # 'gip' | 'ip' | 'pq' (ADC candidates)
     theta: float = 0.0           # 0 => brute force GIP
     rerank: bool = False
     agip_topk: int = 10000
@@ -168,6 +176,11 @@ class Searcher:
         self.config = config
         self.mesh = index.mesh
         self._has_gip = index.indices_T is not None and config.mode == "gip"
+        if config.mode == "pq" and index.pq_codes is None:
+            raise ValueError(
+                "mode='pq' needs a PQ-quantized index (PackedIndex."
+                "quantize_pq / 'index --pq-m')"
+            )
         self._stage1 = self._build_stage1()
         self._stage2 = self._build_stage2()
 
@@ -192,8 +205,16 @@ class Searcher:
                  or jax.default_backend() in ("tpu", "axon"))
         )
 
-        def local(qv, qi, values_T, indices_T, offset, n_local):
-            if has_gip:
+        def local(qv, qi, arrs, offset, n_local):
+            if cfg.mode == "pq":
+                # ADC candidate generation over the PQ codes — the
+                # reference's faiss-PQ search stage (gip_retrieval.py:177-188)
+                from dhr_tpu.ops.pq import pq_ip_scores, pq_luts
+
+                luts = pq_luts(qv, idx.pq_centroids)
+                scores = pq_ip_scores(luts, arrs[0])
+            elif has_gip:
+                values_T, indices_T = arrs
                 if pallas_ok:
                     from dhr_tpu.ops.pallas_gip import partial_gip_scores_pallas
 
@@ -206,7 +227,7 @@ class Searcher:
                         qv, qi, values_T, indices_T, idx.lex_dim, n_dims
                     )
             else:
-                scores = _partial_ip_scores(qv, values_T)
+                scores = _partial_ip_scores(qv, arrs[0])
             k_local = min(k1, n_local)
             if cfg.rerank and cfg.approx_candidates:
                 vals, rows = jax.lax.approx_max_k(
@@ -233,31 +254,37 @@ class Searcher:
 
         # The index planes are passed as runtime ARGUMENTS to the compiled
         # programs (never closed over): a closed-over device array becomes an
-        # HLO constant, and gigabyte constants blow up compilation.
-        arrays = (idx.values_T, idx.indices_T) if has_gip else (idx.values_T,)
+        # HLO constant, and gigabyte constants blow up compilation.  (The PQ
+        # centroid tables ARE closed over — ~1 MB, replicated.)
+        if cfg.mode == "pq":
+            arrays = (idx.pq_codes,)
+            in_specs_arr = (P(INDEX_AXIS, None),)
+        elif has_gip:
+            arrays = (idx.values_T, idx.indices_T)
+            in_specs_arr = (P(None, INDEX_AXIS), P(None, INDEX_AXIS))
+        else:
+            arrays = (idx.values_T,)
+            in_specs_arr = (P(None, INDEX_AXIS),)
 
         if self.mesh is None or self.mesh.size == 1:
             @jax.jit
             def run(qv, qi, *arrs):
-                indices_T = arrs[1] if has_gip else None
-                return local(qv, qi, arrs[0], indices_T, 0, n_total)
+                return local(qv, qi, arrs, 0, n_total)
             return lambda qv, qi: run(qv, qi, *arrays)
 
         mesh = self.mesh
         n_dev = mesh.shape[INDEX_AXIS]
         n_local = n_total // n_dev
-        in_specs = (P(), P()) + tuple(P(None, INDEX_AXIS) for _ in arrays)
+        in_specs = (P(), P()) + in_specs_arr
 
         @functools.partial(
             jax.shard_map, mesh=mesh, in_specs=in_specs,
             out_specs=(P(), P()), check_vma=False,
         )
         def sharded(qv, qi, *arrs):
-            values_T = arrs[0]
-            indices_T = arrs[1] if has_gip else None
             shard_id = jax.lax.axis_index(INDEX_AXIS)
             vals, rows = local(
-                qv, qi, values_T, indices_T, shard_id * n_local, n_local
+                qv, qi, arrs, shard_id * n_local, n_local
             )
             all_vals = jax.lax.all_gather(vals, INDEX_AXIS, axis=-1, tiled=True)
             all_rows = jax.lax.all_gather(rows, INDEX_AXIS, axis=-1, tiled=True)

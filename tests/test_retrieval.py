@@ -278,3 +278,57 @@ def test_searcher_pallas_path_matches_scan(rng):
     v2, r2 = s_pal.search(qv, qi)
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_allclose(v1, v2, rtol=1e-4)
+
+
+def test_pq_mode_candidates_with_gip_rerank(rng):
+    """mode='pq' (reference PQ_IP_retrieval): ADC candidates over PQ codes,
+    exact-GIP rerank — final top-k scores must equal the exact-GIP oracle on
+    the candidates it picked."""
+    packed = build_corpus(rng, N=512).quantize_pq(m=4, iters=10)
+    assert packed.pq_codes.shape == (512, 4)
+    qv, qi = build_queries(rng, B=4)
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=10, mode="pq", rerank=True, agip_topk=128,
+                     query_batch=4),
+    )
+    scores, row_ids = searcher.search(qv, qi)
+    full = gip_oracle_scores(qv, qi, packed)
+    # reranked scores are exact GIP for the rows returned
+    got_rows = np.asarray(row_ids)
+    for b in range(4):
+        np.testing.assert_allclose(
+            scores[b], full[b, got_rows[b]], rtol=1e-2,
+        )
+    # candidate quality: PQ top-10 should mostly hit the exact top-10
+    _, want_rows = topk_oracle(full, 10)
+    overlap = np.mean([
+        len(set(got_rows[b]) & set(want_rows[b])) / 10 for b in range(4)
+    ])
+    assert overlap >= 0.6, overlap
+
+
+def test_pq_index_save_load_roundtrip(rng, tmp_path):
+    packed = build_corpus(rng, N=128).quantize_pq(m=4, iters=5)
+    path = str(tmp_path / "pq_index.npz")
+    packed.save(path)
+    back = PackedIndex.load(path)
+    np.testing.assert_array_equal(back.pq_codes, packed.pq_codes)
+    np.testing.assert_allclose(back.pq_centroids, packed.pq_centroids)
+    # sliced shards keep codes aligned with rows
+    sl = back.slice_rows(16, 64)
+    np.testing.assert_array_equal(sl.pq_codes, packed.pq_codes[16:64])
+
+
+def test_pq_sharded_equals_single_device(rng, eight_devices):
+    packed = build_corpus(rng, N=320).quantize_pq(m=4, iters=5)
+    qv, qi = build_queries(rng, B=4)
+    cfg = SearchConfig(topk=10, mode="pq", rerank=True, agip_topk=64,
+                       query_batch=4)
+    single = Searcher(DeviceIndex.from_packed(packed), cfg)
+    mesh = make_mesh(eight_devices, axis="index")
+    sharded = Searcher(DeviceIndex.from_packed(packed, mesh=mesh), cfg)
+    s1, r1 = single.search(qv, qi)
+    s2, r2 = sharded.search(qv, qi)
+    np.testing.assert_allclose(s1, s2, rtol=1e-3)
+    np.testing.assert_array_equal(r1, r2)
