@@ -603,12 +603,17 @@ def cmd_beir_preprocess(args):
     (reference tevatron/datasets/beir/preprocess.py role): tokenized corpus
     and query JSONL + qrels TSV, feeding encode/search/eval separately."""
     from dhr_tpu.data.examples import write_jsonl
-    from dhr_tpu.eval.beir import load_beir_dir
+    from dhr_tpu.eval.beir import download_beir_dataset, load_beir_dir
 
     import os
 
+    dataset_dir = args.dataset_dir
+    if not dataset_dir:
+        if not args.dataset:
+            raise SystemExit("pass --dataset-dir DIR or --dataset NAME")
+        dataset_dir = download_beir_dataset(args.dataset, args.download_dir)
     tok = _load_tokenizer(args.tokenizer)
-    corpus, queries, qrels = load_beir_dir(args.dataset_dir, args.split)
+    corpus, queries, qrels = load_beir_dir(dataset_dir, args.split)
     os.makedirs(args.output_dir, exist_ok=True)
 
     def tokenize(text, max_len):
@@ -634,9 +639,19 @@ def cmd_beir_preprocess(args):
 
 
 def cmd_beir(args):
+    """BEIR zero-shot eval — one local dir, or named dataset(s) fetched from
+    the public BEIR bucket (reference preprocess.py:11-43 + the 13-dataset
+    loop its README averages over)."""
     from dhr_tpu.encode import EncodeConfig, Encoder
-    from dhr_tpu.eval.beir import evaluate_beir
+    from dhr_tpu.eval.beir import (
+        BEIR_13,
+        download_beir_dataset,
+        evaluate_beir,
+    )
     from dhr_tpu.retrieval import SearchConfig
+
+    if not args.dataset_dir and not args.datasets:
+        raise SystemExit("pass --dataset-dir DIR or --datasets name[,name...]")
 
     model_cfg = _model_cfg_checked(args)
     model, params = _load_init_params(args, model_cfg)
@@ -646,18 +661,49 @@ def cmd_beir(args):
                      remove_dims=args.remove_dims),
     )
     tok = _load_tokenizer(args.tokenizer or args.model_name_or_path)
-    out = evaluate_beir(
-        enc,
-        SearchConfig(
-            topk=args.topk, mode="ip" if args.ip else "gip",
-            theta=args.theta, rerank=args.rerank, agip_topk=args.agip_topk,
-            query_batch=args.query_batch,
-        ),
-        args.dataset_dir, tok,
-        q_max_len=args.q_max_len, p_max_len=args.p_max_len,
-        split=args.split, cls_id=args.cls_token_id, sep_id=args.sep_token_id,
+    search_cfg = SearchConfig(
+        topk=args.topk, mode="ip" if args.ip else "gip",
+        theta=args.theta, rerank=args.rerank, agip_topk=args.agip_topk,
+        query_batch=args.query_batch,
     )
-    print(json.dumps(out, indent=1))
+
+    def run_one(dataset_dir):
+        return evaluate_beir(
+            enc, search_cfg, dataset_dir, tok,
+            q_max_len=args.q_max_len, p_max_len=args.p_max_len,
+            split=args.split, cls_id=args.cls_token_id,
+            sep_id=args.sep_token_id,
+        )
+
+    if args.dataset_dir:
+        print(json.dumps(run_one(args.dataset_dir), indent=1))
+        return
+
+    names = (
+        list(BEIR_13) if args.datasets == "all"
+        else [d.strip() for d in args.datasets.split(",") if d.strip()]
+    )
+    table = {}
+    for name in names:
+        try:
+            d = download_beir_dataset(name, args.download_dir)
+            table[name] = run_one(d)
+            logger.info("%s: %s", name, table[name])
+        except RuntimeError as e:
+            table[name] = {"error": str(e)}
+            logger.error("%s failed: %s", name, e)
+    done = [v for v in table.values() if "NDCG@10" in v]
+    summary = {
+        "datasets": table,
+        "avg_NDCG@10": (
+            sum(v["NDCG@10"] for v in done) / len(done) if done else None
+        ),
+        "avg_R_cap@100": (
+            sum(v["R_cap@100"] for v in done) / len(done) if done else None
+        ),
+        "num_completed": len(done),
+    }
+    print(json.dumps(summary, indent=1))
 
 
 # -------------------------------------------------------------- arg wiring --
@@ -856,7 +902,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(_subparser=p, fn=cmd_eval)
 
     p = sub.add_parser("beir-preprocess")
-    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--dataset-dir", default=None,
+                   help="pre-unzipped BEIR dataset directory")
+    p.add_argument("--dataset", default=None,
+                   help="BEIR dataset name to download+unzip first "
+                        "(reference preprocess.py:11-43)")
+    p.add_argument("--download-dir", default="./beir_download")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--tokenizer", required=True)
     p.add_argument("--split", default="test")
@@ -893,7 +944,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("beir")
     _add_model_args(p)
-    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--dataset-dir", default=None,
+                   help="pre-unzipped BEIR dataset directory")
+    p.add_argument("--datasets", default=None,
+                   help="comma-separated BEIR dataset names to download+run, "
+                        "or 'all' for the 13-dataset suite")
+    p.add_argument("--download-dir", default="./beir_download")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--split", default="test")
     p.add_argument("--topk", type=int, default=1000)

@@ -23,10 +23,68 @@ from __future__ import annotations
 
 import csv
 import json
+import logging
 import os
 
 from dhr_tpu.data.collate import collate_encode
 from dhr_tpu.eval.metrics import ndcg_at_k, recall_at_k, recall_cap_at_k
+
+logger = logging.getLogger(__name__)
+
+# the canonical public BEIR bucket (reference preprocess.py:22)
+BEIR_URL = (
+    "https://public.ukp.informatik.tu-darmstadt.de/thakur/BEIR/datasets/"
+    "{}.zip"
+)
+
+# the 13-dataset zero-shot suite the reference README reports averages over
+BEIR_13 = (
+    "trec-covid", "nfcorpus", "nq", "hotpotqa", "fiqa", "arguana",
+    "webis-touche2020", "quora", "dbpedia-entity", "scidocs", "fever",
+    "climate-fever", "scifact",
+)
+
+
+def download_beir_dataset(
+    name: str, download_dir: str, url_template: str = BEIR_URL
+) -> str:
+    """Download + unzip one BEIR dataset; returns the extracted directory.
+
+    Mirrors the reference's ``beir.util.download_and_unzip`` step
+    (tevatron/datasets/beir/preprocess.py:11-43) without the beir package.
+    Already-extracted datasets are reused without touching the network, so
+    pre-seeded ``<download_dir>/<name>`` directories work offline.
+    """
+    out_dir = os.path.join(download_dir, name)
+    if os.path.exists(os.path.join(out_dir, "corpus.jsonl")):
+        logger.info("BEIR dataset %s already present at %s", name, out_dir)
+        return out_dir
+    os.makedirs(download_dir, exist_ok=True)
+    zip_path = os.path.join(download_dir, f"{name}.zip")
+    if not os.path.exists(zip_path):
+        import urllib.request
+
+        url = url_template.format(name)
+        logger.info("downloading %s -> %s", url, zip_path)
+        try:
+            urllib.request.urlretrieve(url, zip_path + ".part")
+        except OSError as e:
+            raise RuntimeError(
+                f"could not download BEIR dataset '{name}' from {url} "
+                f"({e}); if this host has no network access, place the "
+                f"zip at {zip_path} or the unzipped dataset at {out_dir}"
+            ) from e
+        os.replace(zip_path + ".part", zip_path)
+    import zipfile
+
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(download_dir)
+    if not os.path.exists(os.path.join(out_dir, "corpus.jsonl")):
+        raise RuntimeError(
+            f"unzipped {zip_path} but {out_dir}/corpus.jsonl is missing — "
+            "unexpected archive layout"
+        )
+    return out_dir
 
 
 def load_beir_dir(path: str, split: str = "test"):

@@ -164,3 +164,43 @@ def test_rerank_eval_max_queries_never_cuts_mid_query(rng):
     out = evaluate_rerank(scorer, examples, q_max_len=5, p_max_len=6,
                           batch_size=3, max_queries=1)
     assert out["num_queries"] == 1
+
+
+def test_download_beir_dataset_from_local_zip(tmp_path):
+    """The download step unzips a pre-placed archive (the offline path) and
+    reuses an already-extracted directory without touching the network."""
+    import zipfile
+
+    from dhr_tpu.eval.beir import download_beir_dataset
+
+    src = tmp_path / "src" / "tinyset"
+    write_beir_dataset(str(src))
+    dl = tmp_path / "download"
+    dl.mkdir()
+    with zipfile.ZipFile(dl / "tinyset.zip", "w") as z:
+        for root, _, files in os.walk(src):
+            for name in files:
+                p = os.path.join(root, name)
+                z.write(p, os.path.relpath(p, src.parent))
+
+    out = download_beir_dataset("tinyset", str(dl))
+    assert os.path.exists(os.path.join(out, "corpus.jsonl"))
+    corpus, queries, qrels = load_beir_dir(out)
+    assert len(corpus) == 20
+
+    # second call: reuses the extracted dir (delete the zip to prove it)
+    os.unlink(dl / "tinyset.zip")
+    assert download_beir_dataset("tinyset", str(dl)) == out
+
+
+def test_download_beir_dataset_offline_error(tmp_path):
+    """No zip, no dir, no (reachable) network -> actionable error."""
+    import pytest as _pytest
+
+    from dhr_tpu.eval.beir import download_beir_dataset
+
+    with _pytest.raises(RuntimeError, match="place the zip"):
+        download_beir_dataset(
+            "nosuchset", str(tmp_path),
+            url_template="http://localhost:1/{}.zip",
+        )
