@@ -332,3 +332,57 @@ def test_pq_sharded_equals_single_device(rng, eight_devices):
     s2, r2 = sharded.search(qv, qi)
     np.testing.assert_allclose(s1, s2, rtol=1e-3)
     np.testing.assert_array_equal(r1, r2)
+
+
+@pytest.mark.parametrize("lam", [0.0, 0.5, 2.0])
+@pytest.mark.parametrize("theta", [0.0, 0.2, 0.5])
+def test_lambda_theta_grid_matches_oracle(rng, lam, theta):
+    """(lambda, theta) interaction: theta thresholds the lambda-SCALED query
+    values, CLS dims included, exactly like the reference loads (lambda at
+    gip_retrieval.py:281-283) then gathers (qv > theta, :130-136)."""
+    packed = build_corpus(rng, N=160, lex=12, cls=4)
+    qv, qi = build_queries(rng, B=3, lex=12, cls=4)
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=8, mode="gip", theta=theta, lam=lam, rerank=False,
+                     max_important_dims=16, query_batch=3),
+    )
+    scores, rows = searcher.search(qv, qi)
+    want = gip_oracle_scores(qv, qi, packed, theta=theta, lam=lam)
+    wv, _ = topk_oracle(want, 8)
+    np.testing.assert_allclose(np.asarray(scores), wv, rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("lam", [0.5, 2.0])
+def test_lambda_theta_rerank_grid_matches_full_oracle(rng, lam):
+    """theta candidates + exact rerank at lambda != 1: final scores must be
+    the FULL lambda-scaled GIP (rerank uses unthresholded queries)."""
+    packed = build_corpus(rng, N=160, lex=12, cls=4)
+    qv, qi = build_queries(rng, B=3, lex=12, cls=4)
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=8, mode="gip", theta=0.3, lam=lam, rerank=True,
+                     agip_topk=80, max_important_dims=16, query_batch=3,
+                     approx_candidates=False),
+    )
+    scores, rows = searcher.search(qv, qi)
+    full = gip_oracle_scores(qv, qi, packed, lam=lam)
+    got_rows = np.asarray(rows)
+    for b in range(3):
+        np.testing.assert_allclose(
+            np.asarray(scores)[b], full[b, got_rows[b]], rtol=2e-2, atol=1e-3
+        )
+
+
+def test_threshold_keep_cls_unit():
+    """keep_cls=True exempts the CLS tail from the theta gate."""
+    import jax.numpy as jnp
+
+    from dhr_tpu.ops.gip import threshold_query_values
+
+    qv = jnp.asarray([[0.1, 0.9, 0.05, 0.2]], jnp.float32)  # lex 2 + cls 2
+    uniform = np.asarray(threshold_query_values(qv, 0.3, lex_dim=2))
+    np.testing.assert_allclose(uniform, [[0.0, 0.9, 0.0, 0.0]])
+    kept = np.asarray(threshold_query_values(qv, 0.3, lex_dim=2,
+                                             keep_cls=True))
+    np.testing.assert_allclose(kept, [[0.0, 0.9, 0.05, 0.2]])
