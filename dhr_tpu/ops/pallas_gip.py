@@ -36,31 +36,48 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _kernel(dims_ref, gates_ref, vals_ref, lex_ref,   # scalar prefetch (SMEM)
-            vrow_ref, irow_ref,                       # VMEM (1, TS, 128)
-            out_ref):                                 # VMEM (1, TS, 128)
-    b = pl.program_id(0)
-    i = pl.program_id(2)
+def _make_kernel(unroll: int):
+    """Kernel processing ``unroll`` important dims per grid step.
 
-    @pl.when(i == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+    Unrolling amortizes the per-grid-step fixed cost and, more importantly,
+    puts ``2 * unroll`` HBM->VMEM DMA streams in flight per step: measured
+    on v5e, one stream sustains only ~31 GB/s at 100-200 KB tiles, so
+    aggregate bandwidth scales with stream count (U=1: 46.7 ms, U=8:
+    40.6 ms bf16 / 31.9 ms int8 for B=64, I=48, N=1.64M).
+    """
 
-    dim = dims_ref[b, i]
-    gate_val = gates_ref[b, i]
-    v = vals_ref[b, i]
-    lex_dim = lex_ref[0]
-    row = vrow_ref[0].astype(jnp.float32)            # (TS, 128)
-    # CLS dims (dim >= lex_dim) are always gated open; expressed as a
-    # logical-or with a scalar (Mosaic cannot select between bool vectors,
-    # and cannot compare i8 vectors — widen to i32 for the gate).
-    gate = jnp.logical_or(
-        irow_ref[0].astype(jnp.int32) == gate_val, dim >= lex_dim
-    )
-    out_ref[0] += jnp.where(gate, row * v, 0.0)
+    def _kernel(dims_ref, gates_ref, vals_ref, lex_ref,  # scalar prefetch
+                *refs):  # unroll vrow refs, unroll irow refs, out_ref
+        vrows = refs[:unroll]
+        irows = refs[unroll:2 * unroll]
+        out_ref = refs[2 * unroll]
+        b = pl.program_id(0)
+        i = pl.program_id(2)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        lex_dim = lex_ref[0]
+        acc = jnp.zeros_like(out_ref[0])
+        for j in range(unroll):
+            dim = dims_ref[b, i * unroll + j]
+            gate_val = gates_ref[b, i * unroll + j]
+            v = vals_ref[b, i * unroll + j]
+            row = vrows[j][0].astype(jnp.float32)        # (TS, 128)
+            # CLS dims (dim >= lex_dim) are always gated open; expressed as
+            # a logical-or with a scalar (Mosaic cannot select between bool
+            # vectors, and cannot compare i8 vectors — widen to i32).
+            gate = jnp.logical_or(
+                irows[j][0].astype(jnp.int32) == gate_val, dim >= lex_dim
+            )
+            acc += jnp.where(gate, row * v, 0.0)
+        out_ref[0] += acc
+
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_tile", "interpret", "unroll"))
 def pallas_partial_gip(
     imp_vals: jax.Array,     # (B, I) f32 — thresholded important values
     imp_dims: jax.Array,     # (B, I) i32 — dim ids
@@ -70,11 +87,24 @@ def pallas_partial_gip(
     lex_dim: int | jax.Array,
     n_tile: int = 4096,
     interpret: bool = False,
+    unroll: int = 8,
 ) -> jax.Array:
-    """Partial GIP scores (B, N) via the scalar-prefetch streaming kernel."""
+    """Partial GIP scores (B, N) via the scalar-prefetch streaming kernel.
+
+    ``unroll`` dims are streamed per grid step (see :func:`_make_kernel`);
+    the important-dim axis is zero-padded up to a multiple of ``unroll``
+    (zero ``imp_vals`` contribute nothing regardless of gate).
+    """
     B, n_imp = imp_vals.shape
     D, N = values_T.shape
     assert N % n_tile == 0 and n_tile % LANE == 0, (N, n_tile)
+    unroll = max(1, min(unroll, n_imp))
+    pad = (-n_imp) % unroll
+    if pad:
+        imp_vals = jnp.pad(imp_vals, ((0, 0), (0, pad)))
+        imp_dims = jnp.pad(imp_dims, ((0, 0), (0, pad)))
+        imp_gates = jnp.pad(imp_gates, ((0, 0), (0, pad)))
+        n_imp += pad
     n_tiles = N // n_tile
     ts = n_tile // LANE
     lex_rows = indices_T.shape[0]
@@ -82,48 +112,57 @@ def pallas_partial_gip(
     i3 = indices_T.reshape(lex_rows, N // LANE, LANE)
     lex_arr = jnp.asarray(lex_dim, jnp.int32).reshape(1)
 
+    def vspec(j):
+        # the chosen dim's value plane tile (fully packed DMA)
+        return pl.BlockSpec(
+            (1, ts, LANE),
+            lambda b, n, i, dims, gates, vals, lex, j=j: (
+                dims[b, i * unroll + j], n, 0
+            ),
+        )
+
+    def ispec(j):
+        # matching index-plane tile (clamped for CLS dims; gate is forced
+        # open for them inside the kernel)
+        return pl.BlockSpec(
+            (1, ts, LANE),
+            lambda b, n, i, dims, gates, vals, lex, j=j: (
+                jnp.minimum(dims[b, i * unroll + j], lex_rows - 1), n, 0
+            ),
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, n_tiles, n_imp),
-        in_specs=[
-            # the chosen dim's value plane tile (fully packed DMA)
-            pl.BlockSpec(
-                (1, ts, LANE),
-                lambda b, n, i, dims, gates, vals, lex: (dims[b, i], n, 0),
-            ),
-            # matching index-plane tile (clamped for CLS dims; gate is
-            # forced open for them inside the kernel)
-            pl.BlockSpec(
-                (1, ts, LANE),
-                lambda b, n, i, dims, gates, vals, lex: (
-                    jnp.minimum(dims[b, i], lex_rows - 1), n, 0
-                ),
-            ),
-        ],
+        grid=(B, n_tiles, n_imp // unroll),
+        in_specs=(
+            [vspec(j) for j in range(unroll)]
+            + [ispec(j) for j in range(unroll)]
+        ),
         out_specs=pl.BlockSpec(
             (1, ts, LANE),
             lambda b, n, i, dims, gates, vals, lex: (b, n, 0),
         ),
     )
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(unroll),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, N // LANE, LANE), jnp.float32),
         interpret=interpret,
     )(
         imp_dims.astype(jnp.int32), imp_gates.astype(jnp.int32),
         imp_vals.astype(jnp.float32), lex_arr,
-        v3, i3,
+        *([v3] * unroll + [i3] * unroll),
     )
     return out.reshape(B, N)
 
 
 def partial_gip_scores_pallas(qv, qi, values_T, indices_T, lex_dim, n_dims,
-                              n_tile: int = 4096, interpret: bool = False):
+                              n_tile: int = 4096, interpret: bool = False,
+                              unroll: int = 8):
     """Drop-in twin of ``searcher._partial_gip_scores`` using the kernel."""
     imp_val, imp_dim = jax.lax.top_k(qv, n_dims)
     imp_gate = jnp.take_along_axis(qi, imp_dim, axis=-1)
     return pallas_partial_gip(
         imp_val, imp_dim, imp_gate, values_T, indices_T, lex_dim,
-        n_tile=n_tile, interpret=interpret,
+        n_tile=n_tile, interpret=interpret, unroll=unroll,
     )

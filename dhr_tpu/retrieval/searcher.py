@@ -72,9 +72,14 @@ class SearchConfig:
     # Pallas streaming kernel for the theta pass: True / False / "auto"
     # (auto = on TPU backends when the shard row count tiles evenly).
     use_pallas: bool | str = "auto"
-    # None = pick the largest even tile; big tiles amortize per-step DMA
-    # latency (measured: 4096 -> 270 q/s, 102400 -> 5293 q/s at 205k rows).
+    # None = pick the largest even tile that fits VMEM; big tiles amortize
+    # per-step DMA latency (measured: 4096 -> 270 q/s, 102400 -> 5293 q/s
+    # at 205k rows).
     pallas_n_tile: int | None = None
+    # important dims streamed per kernel grid step; >1 puts more DMA
+    # streams in flight (one stream sustains only ~31 GB/s on v5e at
+    # 100-200 KB tiles, so aggregate bandwidth scales with stream count).
+    pallas_unroll: int = 8
     # Candidate top-k via the TPU-native approximate PartialReduce when an
     # exact rerank follows (lax.approx_max_k); the final result top-k is
     # always exact.  Irrelevant to metrics at recall 0.99 over 10k candidates.
@@ -88,11 +93,23 @@ class SearchConfig:
 
 _PALLAS_TILES = (819200, 409600, 262144, 204800, 131072, 102400, 65536, 51200, 32768,
                  25600, 16384, 8192, 4096)
+_VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the ~16 MB scoped limit
 
 
-def _pick_pallas_tile(n_shard: int) -> int | None:
+def _pick_pallas_tile(
+    n_shard: int, value_bytes: int = 2, unroll: int = 8
+) -> int | None:
+    """Largest tile that divides the shard AND fits the kernel in VMEM.
+
+    VMEM per tile = f32 out block + ``unroll`` double-buffered value/index
+    tile pairs; exceeding the ~16 MB scoped limit is a compile error
+    (measured: bf16 U=4 at n_tile=409600 fails with 16.23M > 16M).
+    """
     for t in _PALLAS_TILES:
-        if t <= n_shard and n_shard % t == 0:
+        if t > n_shard or n_shard % t:
+            continue
+        vmem = t * 4 + unroll * 2 * t * (value_bytes + 1)
+        if vmem <= _VMEM_BUDGET:
             return t
     return None
 
@@ -183,6 +200,8 @@ class Searcher:
             )
         self._stage1 = self._build_stage1()
         self._stage2 = self._build_stage2()
+        self._prep = self._build_prep()
+        self._run_batch = self._build_run_batch()
 
     def _build_stage1(self):
         cfg, idx = self.config, self.index
@@ -195,7 +214,10 @@ class Searcher:
 
         n_shard = n_total // (1 if self.mesh is None else
                               self.mesh.shape[INDEX_AXIS])
-        pallas_tile = cfg.pallas_n_tile or _pick_pallas_tile(n_shard)
+        value_bytes = idx.values_T.dtype.itemsize
+        pallas_tile = cfg.pallas_n_tile or _pick_pallas_tile(
+            n_shard, value_bytes, cfg.pallas_unroll
+        )
         pallas_ok = (
             has_gip
             and cfg.use_pallas in (True, "auto")
@@ -221,6 +243,7 @@ class Searcher:
                     scores = partial_gip_scores_pallas(
                         qv, qi, values_T, indices_T, idx.lex_dim, n_dims,
                         n_tile=pallas_tile, interpret=cfg.pallas_interpret,
+                        unroll=cfg.pallas_unroll,
                     )
                 else:
                     scores = _partial_gip_scores(
@@ -267,9 +290,12 @@ class Searcher:
             in_specs_arr = (P(None, INDEX_AXIS),)
 
         if self.mesh is None or self.mesh.size == 1:
-            @jax.jit
-            def run(qv, qi, *arrs):
+            def raw(qv, qi, *arrs):
                 return local(qv, qi, arrs, 0, n_total)
+
+            self._stage1_raw = raw
+            self._stage1_arrays = arrays
+            run = jax.jit(raw)
             return lambda qv, qi: run(qv, qi, *arrays)
 
         mesh = self.mesh
@@ -290,6 +316,8 @@ class Searcher:
             all_rows = jax.lax.all_gather(rows, INDEX_AXIS, axis=-1, tiled=True)
             return merge_topk(all_vals, all_rows, min(k1, all_vals.shape[-1]))
 
+        self._stage1_raw = sharded
+        self._stage1_arrays = arrays
         jitted = jax.jit(sharded)
         return lambda qv, qi: jitted(qv, qi, *arrays)
 
@@ -332,8 +360,73 @@ class Searcher:
             rows = rows.reshape(n_chunks * q_chunk, -1)[:B]
             return vals, rows
 
+        self._rerank_raw = rerank.__wrapped__
         return lambda qv, qi, cand_rows: rerank(
             qv, qi, cand_rows, idx.values, idx.indices
+        )
+
+    def _build_prep(self):
+        """Device-side query prep: lambda scaling, theta threshold, int8
+        scale folding, index widening/padding — one jitted program.
+
+        Keeping prep on device lets :meth:`search` upload only the raw query
+        arrays once (the dev-relay charges a flat ~37 ms per host->device
+        transfer, so per-batch uploads dominated the old loop).
+        ``prepare_queries`` remains as the host-side twin for tools/tests.
+        """
+        cfg, idx = self.config, self.index
+        lex, dim = idx.lex_dim, idx.dim
+        scales = idx.value_scales  # (D,) f32 on device, or None (tiny const)
+        theta_gip = cfg.theta > 0 and cfg.mode == "gip"
+
+        @jax.jit
+        def prep(qv, qi):
+            qv = qv.astype(jnp.float32)
+            if dim > lex and cfg.lam != 1.0:
+                lam_vec = jnp.concatenate(
+                    [jnp.ones((lex,), jnp.float32),
+                     jnp.full((dim - lex,), cfg.lam, jnp.float32)]
+                )
+                qv = qv * lam_vec[None, :]
+            qv1 = jnp.where(qv > cfg.theta, qv, 0.0) if theta_gip else qv
+            qi32 = qi.astype(jnp.int32)
+            if qi32.shape[1] < dim:
+                qi32 = jnp.pad(
+                    qi32, ((0, 0), (0, dim - qi32.shape[1])),
+                    constant_values=1,
+                )
+            if scales is not None:
+                qv = qv * scales[None, :]
+                qv1 = qv1 * scales[None, :]
+            return qv, qv1, qi32
+
+        return prep
+
+    def _build_run_batch(self):
+        """One jitted program per batch: dynamic-slice the (uploaded-once)
+        query arrays at a traced ``start``, then stage 1 (+ rerank)."""
+        cfg, idx = self.config, self.index
+        bs = cfg.query_batch
+        stage1_raw = self._stage1_raw
+        s1_arrays = tuple(self._stage1_arrays)
+        rerank_raw = getattr(self, "_rerank_raw", None)
+        do_rerank = self._stage2 is not None and rerank_raw is not None
+
+        @jax.jit
+        def run(qv_all, qv1_all, qi_all, start, *arrs):
+            qv1 = jax.lax.dynamic_slice_in_dim(qv1_all, start, bs)
+            qi = jax.lax.dynamic_slice_in_dim(qi_all, start, bs)
+            vals, rows = stage1_raw(qv1, qi, *arrs[: len(s1_arrays)])
+            if do_rerank:
+                qv = jax.lax.dynamic_slice_in_dim(qv_all, start, bs)
+                vals, rows = rerank_raw(qv, qi, rows, arrs[-2], arrs[-1])
+            return vals, rows
+
+        all_arrays = s1_arrays + (
+            (idx.values, idx.indices) if do_rerank else ()
+        )
+        return lambda qvs, qv1s, qif, start: run(
+            qvs, qv1s, qif, np.int32(start), *all_arrays
         )
 
     # -- host API --------------------------------------------------------
@@ -390,38 +483,79 @@ class Searcher:
     def search(self, query_values, query_indices=None):
         """Search a full query set; returns (scores, row_ids) as numpy.
 
-        All batches are dispatched asynchronously (JAX queues them on
-        device); results transfer back once at the end — no host-device
-        sync between batches.
+        Transfer plan (the dev relay charges a flat ~37 ms per transfer, so
+        transfers — not compute — dominated the naive loop):
+
+        - the raw query arrays are uploaded ONCE (indices compacted to the
+          narrowest int dtype); lambda/theta/scale prep runs on device;
+        - each batch is one jitted dispatch that dynamic-slices the resident
+          arrays at ``start`` — no per-batch uploads, one compiled program;
+        - results start copying back (``copy_to_host_async``) while later
+          batches still compute; the final gather mostly finds them ready.
         """
         cfg = self.config
-        qv_full, qv1, qi = self.prepare_queries(query_values, query_indices)
-        B = qv_full.shape[0]
+        qv = np.ascontiguousarray(np.asarray(query_values, np.float32))
+        B = qv.shape[0]
         bs = cfg.query_batch
+        n_batches = max(1, -(-B // bs))
+        pad = n_batches * bs - B
+        if pad:
+            qv = np.pad(qv, [(0, pad), (0, 0)])
+        if query_indices is None:
+            qi = np.ones((qv.shape[0], 1), np.int8)
+        else:
+            qi = np.asarray(query_indices, np.int32)
+            if pad:
+                qi = np.pad(qi, [(0, pad), (0, 0)], constant_values=1)
+            hi = int(qi.max(initial=0))
+            lo = int(qi.min(initial=0))
+            if lo >= -128 and hi < 128:
+                qi = qi.astype(np.int8)
+            elif lo >= -(1 << 15) and hi < (1 << 15):
+                qi = qi.astype(np.int16)
+        self._warn_truncated_scan(qv[: B])
+        qvs, qv1s, qif = self._prep(jnp.asarray(qv), jnp.asarray(qi))
         device_out = []
-        for start in range(0, B, bs):
-            cf = qv_full[start:start + bs]
-            c1 = qv1[start:start + bs]
-            ci = qi[start:start + bs]
-            pad = bs - cf.shape[0]
-            if pad:
-                cf = np.pad(cf, [(0, pad), (0, 0)])
-                c1 = np.pad(c1, [(0, pad), (0, 0)])
-                ci = np.pad(ci, [(0, pad), (0, 0)], constant_values=1)
-            vals, rows = self._stage1(jnp.asarray(c1), jnp.asarray(ci))
-            if self._stage2 is not None:
-                vals, rows = self._stage2(
-                    jnp.asarray(cf), jnp.asarray(ci), rows
-                )
-            device_out.append((vals, rows, pad))
-        out_scores, out_rows = [], []
-        for vals, rows, pad in device_out:
-            vals, rows = np.asarray(vals), np.asarray(rows)
-            if pad:
-                vals, rows = vals[:-pad], rows[:-pad]
-            out_scores.append(vals)
-            out_rows.append(rows)
-        return np.concatenate(out_scores, axis=0), np.concatenate(out_rows, axis=0)
+        for bi in range(n_batches):
+            vals, rows = self._run_batch(qvs, qv1s, qif, bi * bs)
+            for a in (vals, rows):
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # noqa: BLE001 - optional fast path
+                    pass
+            device_out.append((vals, rows))
+        scores = np.concatenate(
+            [np.asarray(v) for v, _ in device_out], axis=0
+        )[:B]
+        rows = np.concatenate(
+            [np.asarray(r) for _, r in device_out], axis=0
+        )[:B]
+        return scores, rows
+
+    def _warn_truncated_scan(self, qv: np.ndarray) -> None:
+        """Stage 1 scans only the top min(max_important_dims, dim) query
+        dims by value; the reference scans EVERY dim with qv > theta
+        (gip_retrieval.py:130-136).  Queries with more above-theta dims than
+        the cap get truncated stage-1 scores — fine with --rerank (stage 2
+        rescores exactly), a ranking deviation without it.  Surface that
+        instead of silently diverging."""
+        cfg = self.config
+        if not (cfg.theta > 0 and cfg.mode == "gip" and not cfg.rerank):
+            return
+        lex = self.index.lex_dim
+        if qv.shape[1] > lex and cfg.lam != 1.0:
+            qv = qv.copy()
+            qv[:, lex:] *= cfg.lam
+        cap = min(cfg.max_important_dims, qv.shape[1])
+        n_above = int((qv > cfg.theta).sum(axis=1).max(initial=0))
+        if n_above > cap:
+            logging.getLogger(__name__).warning(
+                "theta=%g leaves up to %d important dims per query but "
+                "max_important_dims=%d caps the stage-1 scan; rankings "
+                "may diverge from the reference. Raise "
+                "--max-important-dims or add --rerank.",
+                cfg.theta, n_above, cap,
+            )
 
     def search_run(self, qids, query_values, query_indices=None):
         """Search returning TREC-ready ``{qid: [docid...]}, {qid: [score...]}``."""

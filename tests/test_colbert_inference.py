@@ -202,8 +202,15 @@ def test_colbert_score_cli(rng, tmp_path):
                 f.write(f"q{qi}\tp{pi}\n")
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
+    # keep the TPU-relay sitecustomize (.axon_site) OUT of the subprocess:
+    # this is a CPU-only test, and the axon client hangs at import when the
+    # relay is mid-claim (e.g. another process is on the chip)
+    inherited = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                 if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + inherited
+    )
 
     def run(*argv):
         proc = subprocess.run(

@@ -9,8 +9,9 @@ from dhr_tpu.ops.pallas_gip import partial_gip_scores_pallas
 from dhr_tpu.retrieval.searcher import _partial_gip_scores
 
 
+@pytest.mark.parametrize("unroll", [1, 4, 8])
 @pytest.mark.parametrize("lex,cls,k", [(16, 4, 5), (8, 0, 3)])
-def test_pallas_kernel_matches_jnp(rng, lex, cls, k):
+def test_pallas_kernel_matches_jnp(rng, lex, cls, k, unroll):
     B, N, I = 4, 256, 6
     D = lex + cls
     values_T = jnp.asarray(rng.random((D, N)), jnp.float32)
@@ -26,7 +27,8 @@ def test_pallas_kernel_matches_jnp(rng, lex, cls, k):
     want = np.asarray(_partial_gip_scores(qv, qi, values_T, indices_T, lex, I))
     got = np.asarray(
         partial_gip_scores_pallas(
-            qv, qi, values_T, indices_T, lex, I, n_tile=128, interpret=True
+            qv, qi, values_T, indices_T, lex, I, n_tile=128, interpret=True,
+            unroll=unroll,
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
