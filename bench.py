@@ -168,10 +168,13 @@ def measure_encode_throughput(rng, batch_size=256, seq_len=128, n_iters=5):
     enc = Encoder(model, params, cfg, EncodeConfig(batch_size=batch_size))
     v, _ = enc._encode_passage(ids, mask)
     _ = float(v[0, 0])
+    # pipeline the dispatches; ONE scalar fetch at the end — a per-iteration
+    # fetch through the dev relay adds a flat ~31-100 ms sync per batch and
+    # under-reports the device rate by ~40%
     t0 = time.perf_counter()
     for _ in range(n_iters):
         v, _ = enc._encode_passage(ids, mask)
-        _ = float(v[0, 0])
+    _ = float(v[0, 0])
     dt = (time.perf_counter() - t0) / n_iters
     return batch_size / dt
 
