@@ -386,3 +386,68 @@ def test_threshold_keep_cls_unit():
     kept = np.asarray(threshold_query_values(qv, 0.3, lex_dim=2,
                                              keep_cls=True))
     np.testing.assert_allclose(kept, [[0.0, 0.9, 0.05, 0.2]])
+
+
+@pytest.mark.parametrize("lam", [1.0, 0.25])
+@pytest.mark.parametrize("theta", [0.0, 0.4])
+@pytest.mark.parametrize("quantized", [False, True])
+def test_device_prep_matches_host_prepare_queries(rng, lam, theta, quantized):
+    """search()'s on-device query prep (lambda/theta/scale folding, index
+    widening+padding) must be the exact twin of the host-side
+    ``prepare_queries`` it replaced (the relay-transfer rework)."""
+    packed = build_corpus(rng, N=96)
+    if quantized:
+        packed = packed.quantize()
+    idx = DeviceIndex.from_packed(packed)
+    s = Searcher(idx, SearchConfig(
+        topk=5, theta=theta, lam=lam, rerank=True, agip_topk=16))
+    qv, qi = build_queries(rng)
+    want_full, want_s1, want_qi = s.prepare_queries(qv, qi)
+    got_full, got_s1, got_qi = s._prep(
+        jnp.asarray(qv), jnp.asarray(qi.astype(np.int8)))
+    np.testing.assert_allclose(np.asarray(got_full), want_full, rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_s1), want_s1, rtol=2e-6)
+    np.testing.assert_array_equal(np.asarray(got_qi), want_qi)
+    # and with no query indices at all (dense-style query)
+    want = s.prepare_queries(qv, None)
+    got = s._prep(jnp.asarray(qv), jnp.ones((qv.shape[0], 1), jnp.int8))
+    np.testing.assert_allclose(np.asarray(got[1]), want[1], rtol=2e-6)
+    np.testing.assert_array_equal(np.asarray(got[2]), want[2])
+
+
+def test_search_batching_odd_sizes_consistent(rng):
+    """The dynamic-slice batched loop must return identical results for any
+    query_batch (padding rows never leak into real outputs)."""
+    packed = build_corpus(rng, N=200)
+    qv, qi = build_queries(rng, B=11)
+    outs = []
+    for bs in (3, 4, 11, 64):
+        s = Searcher(
+            DeviceIndex.from_packed(packed),
+            SearchConfig(topk=7, theta=0.3, rerank=True, agip_topk=32,
+                         query_batch=bs),
+        )
+        outs.append(s.search(qv, qi))
+    for v, r in outs[1:]:
+        np.testing.assert_array_equal(r, outs[0][1])
+        np.testing.assert_allclose(v, outs[0][0], rtol=1e-6)
+
+
+def test_int8_lambda_theta_rerank_matches_oracle_ranking(rng):
+    """int8 planes + lambda + theta + rerank: the exact-rerank stage works in
+    the quantized domain with scales folded into the query; rankings must
+    track the float oracle's head (quantization noise only)."""
+    packed = build_corpus(rng, N=300)
+    qv, qi = build_queries(rng, B=5)
+    oracle = gip_oracle_scores(qv, qi, packed, theta=0.0, lam=0.5)
+    s = Searcher(
+        DeviceIndex.from_packed(packed.quantize()),
+        SearchConfig(topk=10, theta=0.35, lam=0.5, rerank=True,
+                     agip_topk=80, approx_candidates=False),
+    )
+    scores, rows = s.search(qv, qi)
+    _, want_rows = topk_oracle(oracle, 10)
+    overlap = np.mean([
+        len(set(rows[b]) & set(want_rows[b])) / 10 for b in range(5)
+    ])
+    assert overlap >= 0.9, overlap
