@@ -25,6 +25,7 @@ option names (CLI flags win).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
 
@@ -322,16 +323,49 @@ def cmd_encode(args):
 
     from dhr_tpu.data.collate import wrap_specials
 
-    def batches():
-        for start in range(0, len(ids), args.batch_size):
-            chunk_ids = ids[start: start + args.batch_size]
-            toks = [
-                wrap_specials(t, max_len, args.cls_token_id, args.sep_token_id)
-                for t in texts[start: start + args.batch_size]
-            ]
-            yield collate_encode(chunk_ids, toks, max_len)
+    order = None
+    if getattr(args, "length_bucketing", False):
+        # sort-by-length batches padded to small bucket lengths: same reps
+        # (masked positions), a fraction of the pad FLOPs on short-document
+        # corpora; outputs are restored to input order below
+        from dhr_tpu.encode import plan_length_buckets
+
+        plan, order = plan_length_buckets(
+            [len(t) + 2 for t in texts], args.batch_size, max_len
+        )
+
+        def batches():
+            for sel, blen in plan:
+                yield collate_encode(
+                    [ids[i] for i in sel],
+                    [wrap_specials(texts[i], blen, args.cls_token_id,
+                                   args.sep_token_id) for i in sel],
+                    blen,
+                )
+    else:
+        def batches():
+            for start in range(0, len(ids), args.batch_size):
+                chunk_ids = ids[start: start + args.batch_size]
+                toks = [
+                    wrap_specials(t, max_len, args.cls_token_id,
+                                  args.sep_token_id)
+                    for t in texts[start: start + args.batch_size]
+                ]
+                yield collate_encode(chunk_ids, toks, max_len)
+
+    def _restore(*arrays):
+        """Undo the length-sort so outputs land in input order."""
+        if order is None:
+            return arrays
+        inv = np.argsort(order)
+        return tuple(a[inv] if a is not None else None for a in arrays)
 
     if model_cfg.model_type == "colbert":
+        if order is not None:
+            raise SystemExit(
+                "--length-bucketing is not supported for colbert: token "
+                "reps are (N, L, D) and need one common L"
+            )
         role = "query" if args.encode_is_qry else "passage"
         reps, out_ids = enc.encode_tokens(batches(), role)
         np.savez(args.output, token=reps)
@@ -343,15 +377,22 @@ def cmd_encode(args):
         )
     elif args.encode_is_qry:
         qv, qi, qids = enc.encode_queries(batches())
+        qv, qi, qids_arr = _restore(qv, qi, np.asarray(qids, dtype=object))
         np.savez(
             args.output, values=qv,
             **({"indices": qi} if qi is not None else {}),
         )
         with open(args.output + ".qids.json", "w") as f:
-            json.dump(list(map(str, qids)), f)
-        logger.info("encoded %d queries -> %s", len(qids), args.output)
+            json.dump(list(map(str, qids_arr)), f)
+        logger.info("encoded %d queries -> %s", len(qids_arr), args.output)
     else:
         packed = enc.encode_corpus(batches())
+        values, indices, docids = _restore(
+            packed.values, packed.indices, packed.docids
+        )
+        packed = dataclasses.replace(
+            packed, values=values, indices=indices, docids=docids
+        )
         packed.save(args.output)
         logger.info("encoded %d passages -> %s", packed.num_rows, args.output)
 
@@ -673,6 +714,7 @@ def cmd_beir(args):
             q_max_len=args.q_max_len, p_max_len=args.p_max_len,
             split=args.split, cls_id=args.cls_token_id,
             sep_id=args.sep_token_id,
+            length_bucketing=getattr(args, "length_bucketing", False),
         )
 
     if args.dataset_dir:
@@ -798,6 +840,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encode-is-qry", action="store_true")
     p.add_argument("--encode-num-shard", type=int, default=1)
     p.add_argument("--encode-shard-index", type=int, default=0)
+    p.add_argument("--length-bucketing", action="store_true",
+                   help="sort by length and pad each batch to a small "
+                        "bucket length instead of max_len (same reps, "
+                        "fewer pad FLOPs on short-document corpora)")
     p.set_defaults(_subparser=p, fn=cmd_encode)
 
     p = sub.add_parser("densify")
@@ -958,6 +1004,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--agip-topk", type=int, default=10000)
     p.add_argument("--query-batch", type=int, default=64)
+    p.add_argument("--length-bucketing", action="store_true",
+                   help="bucketed variable-length encode batches (fewer pad "
+                        "FLOPs; BEIR results are id-keyed so the length-sort "
+                        "order never matters here)")
     p.set_defaults(_subparser=p, fn=cmd_beir)
 
     return ap

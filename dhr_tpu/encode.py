@@ -207,3 +207,39 @@ def iter_batches(ids, input_ids, attention_mask, batch_size: int):
             "input_ids": input_ids[sl],
             "attention_mask": attention_mask[sl],
         }
+
+
+# The padded lengths bucketed batches may use: a small fixed menu keeps the
+# number of compiled (batch, L) programs bounded (<= 8) while wasting < 33%
+# pad FLOPs within a bucket.
+LENGTH_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
+
+
+def plan_length_buckets(
+    lengths, batch_size: int, max_len: int,
+    allowed: tuple[int, ...] = LENGTH_BUCKETS,
+):
+    """Group items into batches padded to per-batch bucket lengths.
+
+    The reference pads every batch to ``max_len`` (driver/encode.py via
+    p_max_len), wasting pad FLOPs on short-document corpora (BEIR at
+    p_max_len 512).  Sorting by length and padding each batch to the
+    smallest allowed bucket >= its longest member cuts encode cost roughly
+    by the corpus's mean/max length ratio, while masked positions keep the
+    reps semantically identical.
+
+    Returns ``(plan, order)``: ``plan`` is a list of ``(indices, bucket_len)``
+    batches over the ORIGINAL item indices; ``order`` is the concatenation of
+    all indices in plan order (so outputs can be restored to input order via
+    ``np.argsort(order)``).
+    """
+    lengths = np.minimum(np.asarray(lengths, np.int64), max_len)
+    menu = sorted({l for l in allowed if l < max_len} | {max_len})
+    order = np.argsort(lengths, kind="stable")
+    plan = []
+    for start in range(0, len(order), batch_size):
+        sel = order[start:start + batch_size]
+        need = int(lengths[sel].max(initial=1))
+        blen = next(b for b in menu if b >= need)
+        plan.append((sel, blen))
+    return plan, order

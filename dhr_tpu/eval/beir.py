@@ -115,10 +115,33 @@ def load_beir_dir(path: str, split: str = "test"):
 
 def _tokenize_batches(items: dict[str, str], tokenizer, max_len: int,
                       batch_size: int, cls_id: int | None,
-                      sep_id: int | None = None):
+                      sep_id: int | None = None,
+                      length_bucketing: bool = False):
     from dhr_tpu.data.collate import wrap_specials
 
     ids = list(items.keys())
+    if length_bucketing:
+        # BEIR corpora are short-document at p_max_len 512 — bucketed batches
+        # cut pad FLOPs by the mean/max length ratio.  Output order follows
+        # the length sort, which is fine here: search results and qrels are
+        # keyed by id, never by row position.
+        from dhr_tpu.encode import plan_length_buckets
+
+        toks = [
+            tokenizer.encode(items[i], add_special_tokens=False,
+                             max_length=max_len, truncation=True)
+            for i in ids
+        ]
+        plan, _ = plan_length_buckets(
+            [len(t) + 2 for t in toks], batch_size, max_len
+        )
+        for sel, blen in plan:
+            yield collate_encode(
+                [ids[i] for i in sel],
+                [wrap_specials(toks[i], blen, cls_id, sep_id) for i in sel],
+                blen,
+            )
+        return
     for start in range(0, len(ids), batch_size):
         chunk = ids[start: start + batch_size]
         toks = []
@@ -143,6 +166,7 @@ def evaluate_beir(
     sep_id: int | None = None,
     mesh=None,
     k_values=(10, 100),
+    length_bucketing: bool = False,
 ) -> dict:
     """End-to-end BEIR eval for one dataset directory.
 
@@ -154,10 +178,12 @@ def evaluate_beir(
     corpus, queries, qrels = load_beir_dir(dataset_dir, split)
     bs = encoder.encode_cfg.batch_size
     packed = encoder.encode_corpus(
-        _tokenize_batches(corpus, tokenizer, p_max_len, bs, cls_id, sep_id)
+        _tokenize_batches(corpus, tokenizer, p_max_len, bs, cls_id, sep_id,
+                          length_bucketing=length_bucketing)
     )
     qv, qi, qids = encoder.encode_queries(
-        _tokenize_batches(queries, tokenizer, q_max_len, bs, cls_id, sep_id)
+        _tokenize_batches(queries, tokenizer, q_max_len, bs, cls_id, sep_id,
+                          length_bucketing=length_bucketing)
     )
     searcher = Searcher(DeviceIndex.from_packed(packed, mesh=mesh),
                         search_config)

@@ -251,3 +251,51 @@ def test_cli_tct_training(tmp_path, rng):
           "--log-steps", "10", "--save-steps", "100",
           "--tct", "--teacher-path", teacher_export])
     assert os.path.exists(os.path.join(out_dir, "export", "pytorch_model.bin"))
+
+
+def test_encode_length_bucketing_matches_plain(tmp_path, rng):
+    """--length-bucketing: same reps/docids as the pad-to-max path, any order."""
+    from dhr_tpu.data.examples import write_jsonl
+    from dhr_tpu.retrieval import PackedIndex
+
+    vocab = 70
+    # variable-length docs spanning several buckets under p_max_len 40
+    corpus_rows = [
+        {"text_id": f"d{i}",
+         "text": rng.integers(2, vocab, int(rng.integers(3, 39))).tolist()}
+        for i in range(20)
+    ]
+    corpus_path = str(tmp_path / "corpus.jsonl")
+    write_jsonl(corpus_path, corpus_rows)
+
+    common = ["--model", "dhr", "--tiny", "--tiny-vocab", str(vocab),
+              "--add-pooler", "--projection-dim", "4",
+              "--dlr-out-dim", "8", "--remove-dims", "6",
+              "--cls-token-id", "1", "--sep-token-id", "0",
+              "--q-max-len", "6", "--p-max-len", "40",
+              "--input", corpus_path, "--batch-size", "4"]
+    plain, bucketed = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    main(["encode", *common, "--output", plain])
+    main(["encode", *common, "--output", bucketed, "--length-bucketing"])
+
+    a, b = PackedIndex.load(plain), PackedIndex.load(bucketed)
+    assert list(a.docids) == list(b.docids)
+    np.testing.assert_allclose(np.asarray(b.values, np.float32),
+                               np.asarray(a.values, np.float32),
+                               atol=2e-3, rtol=2e-2)
+    assert (a.indices == b.indices).mean() > 0.98  # argmax near-tie slack
+
+    # query path: qids restored to input order too
+    qa, qb = str(tmp_path / "qa.npz"), str(tmp_path / "qb.npz")
+    main(["encode", *common, "--encode-is-qry", "--output", qa])
+    main(["encode", *common, "--encode-is-qry", "--output", qb,
+          "--length-bucketing"])
+    with open(qa + ".qids.json") as f:
+        qids_a = json.load(f)
+    with open(qb + ".qids.json") as f:
+        qids_b = json.load(f)
+    assert qids_a == qids_b
+    va, vb = np.load(qa)["values"], np.load(qb)["values"]
+    np.testing.assert_allclose(np.asarray(vb, np.float32),
+                               np.asarray(va, np.float32),
+                               atol=2e-3, rtol=2e-2)

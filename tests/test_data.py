@@ -177,3 +177,32 @@ def test_raw_text_preprocessors():
     assert q["text_id"] == "q1" and isinstance(q["text"], list)
     c = make_corpus_preprocessor(tok)({"docid": "d1", "text": "xyz"})
     assert c["text_id"] == "d1"
+
+
+def test_plan_length_buckets_properties(rng):
+    """plan covers every index once; bucket >= longest member; menu only."""
+    from dhr_tpu.encode import plan_length_buckets
+
+    lengths = rng.integers(1, 700, 257).tolist()
+    plan, order = plan_length_buckets(lengths, batch_size=16, max_len=512,
+                                      allowed=(32, 64, 128, 256, 384, 512))
+    seen = np.concatenate([sel for sel, _ in plan])
+    assert sorted(seen.tolist()) == list(range(257))
+    assert np.array_equal(seen, order)
+    menu = {32, 64, 128, 256, 384, 512}
+    for sel, blen in plan:
+        assert blen in menu
+        assert blen >= min(max(lengths[i] for i in sel), 512)
+        assert len(sel) <= 16
+    # restore: argsort(order) inverts the length sort
+    inv = np.argsort(order)
+    assert np.array_equal(np.arange(257), order[inv])
+
+
+def test_plan_length_buckets_max_len_in_menu():
+    """max_len not in `allowed` is still always available as the top bucket."""
+    from dhr_tpu.encode import plan_length_buckets
+
+    plan, _ = plan_length_buckets([5, 100], batch_size=2, max_len=40,
+                                  allowed=(32, 64, 128))
+    assert plan[0][1] == 40  # the batch holds the len-100 item, capped at 40

@@ -2,6 +2,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -204,3 +205,19 @@ def test_download_beir_dataset_offline_error(tmp_path):
             "nosuchset", str(tmp_path),
             url_template="http://localhost:1/{}.zip",
         )
+
+def test_evaluate_beir_length_bucketing_same_metrics(tmp_path):
+    """Bucketed encode order never changes id-keyed BEIR metrics."""
+    d = str(tmp_path)
+    write_beir_dataset(d)
+    model, params, cfg = tiny_model("dhr")
+    enc = Encoder(model, params, cfg,
+                  EncodeConfig(batch_size=8, remove_dims=6))
+    scfg = SearchConfig(topk=10, mode="gip", query_batch=8)
+    plain = evaluate_beir(enc, scfg, d, FakeTokenizer(),
+                          q_max_len=8, p_max_len=12, cls_id=1)
+    bucketed = evaluate_beir(enc, scfg, d, FakeTokenizer(),
+                             q_max_len=8, p_max_len=12, cls_id=1,
+                             length_bucketing=True)
+    for k in ("NDCG@10", "Recall@10", "R_cap@10", "NDCG@100", "num_queries"):
+        assert bucketed[k] == pytest.approx(plain[k], abs=1e-6), k
