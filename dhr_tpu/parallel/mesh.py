@@ -23,12 +23,54 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 INDEX_AXIS = "index"
+HOST_AXIS = "host"
 
 
 def make_mesh(devices=None, axis: str = DATA_AXIS) -> Mesh:
     """A 1-D mesh over all (or the given) devices."""
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_hybrid_mesh(
+    devices=None,
+    inner_axis: str = INDEX_AXIS,
+    host_axis: str = HOST_AXIS,
+    num_hosts: int | None = None,
+) -> Mesh:
+    """A 2-D ``(host, inner)`` mesh with the DCN axis LEADING.
+
+    Multi-host topologies need the slow (DCN) axis outermost so that the
+    collective-heavy inner axis stays on ICI (scaling-book multi-pod
+    recipe; the reference has no equivalent — its multi-node story is
+    process-per-shard files merged on disk).  Devices are grouped by
+    ``process_index`` so each mesh row is one host's chips; row-sharding
+    over ``(host, inner)`` then keeps every heavy collective intra-host and
+    crosses DCN only for the tiny merged results.
+
+    ``num_hosts`` overrides the process grouping (e.g. to rehearse a
+    multi-host layout on a single-process 8-CPU-device mesh).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if num_hosts is None:
+        num_hosts = len({d.process_index for d in devices})
+    if len(devices) % num_hosts:
+        raise ValueError(
+            f"{len(devices)} devices do not divide into {num_hosts} hosts"
+        )
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    arr = np.asarray(devices).reshape(num_hosts, len(devices) // num_hosts)
+    return Mesh(arr, (host_axis, inner_axis))
+
+
+def row_axes(mesh: Mesh | None, axis: str = INDEX_AXIS) -> tuple[str, ...]:
+    """The mesh axes row-sharding should span: ``(host, axis)`` on a hybrid
+    mesh, else ``(axis,)``.  Host-major order keeps shard ids contiguous per
+    host, so per-shard row offsets map to host-local index slices."""
+    if mesh is not None and HOST_AXIS in mesh.axis_names \
+            and axis in mesh.axis_names:
+        return (HOST_AXIS, axis)
+    return (axis,)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

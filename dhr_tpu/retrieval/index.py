@@ -205,6 +205,9 @@ class DeviceIndex:
     pq_codes: jax.Array | None = None       # (N, m) int32 (TPU-friendly)
     pq_centroids: jax.Array | None = None   # (m, 256, D/m) f32, replicated
     mesh: Mesh | None = None
+    # mesh axes the rows are sharded over — ("host", "index") on a hybrid
+    # multi-host mesh (DCN leading), ("index",) otherwise
+    shard_axes: tuple = ("index",)
 
     @property
     def dim(self) -> int:
@@ -229,28 +232,32 @@ class DeviceIndex:
         Row count must already be a multiple of the mesh size."""
         import jax.numpy as jnp
 
+        from dhr_tpu.parallel import row_axes
+
+        axes = row_axes(mesh, axis)
+
         def put(x, spec):
             if mesh is None:
                 return x
             return jax.device_put(x, NamedSharding(mesh, spec))
 
         values = jnp.asarray(values)
-        dv = put(values, P(axis, None))
-        dvt = put(values.T + 0, P(None, axis))  # +0 forces a materialized copy
+        dv = put(values, P(axes, None))
+        dvt = put(values.T + 0, P(None, axes))  # +0 forces a materialized copy
         di = dit = None
         if indices is not None:
             indices = jnp.asarray(indices)
             if indices.dtype == jnp.uint8:
                 indices = indices.astype(jnp.int8)
-            di = put(indices, P(axis, None))
-            dit = put(indices.T + 0, P(None, axis))
+            di = put(indices, P(axes, None))
+            dit = put(indices.T + 0, P(None, axes))
         return DeviceIndex(
             values=dv, values_T=dvt, indices=di, indices_T=dit,
             docids=docids, lex_dim=lex_dim, num_rows=values.shape[0],
             value_scales=None if value_scales is None else jnp.asarray(
                 value_scales
             ),
-            mesh=mesh,
+            mesh=mesh, shard_axes=axes,
         )
 
     @staticmethod
@@ -262,7 +269,13 @@ class DeviceIndex:
     ) -> "DeviceIndex":
         import jax.numpy as jnp
 
-        n_dev = 1 if mesh is None else mesh.shape[axis]
+        from dhr_tpu.parallel import row_axes
+
+        axes = row_axes(mesh, axis)
+        n_dev = 1
+        if mesh is not None:
+            for a in axes:
+                n_dev *= mesh.shape[a]
         n = packed.num_rows
         pad = (-n) % n_dev
 
@@ -288,8 +301,8 @@ class DeviceIndex:
                 return x
             return jax.device_put(x, NamedSharding(mesh, spec))
 
-        row_spec = P(axis, None)
-        col_spec = P(None, axis)
+        row_spec = P(axes, None)
+        col_spec = P(None, axes)
         dv = put(values.astype(value_dtype) if value_dtype != jnp.int8
                  else values, row_spec)
         dvt = put(
@@ -317,5 +330,5 @@ class DeviceIndex:
             values=dv, values_T=dvt, indices=di, indices_T=dit,
             docids=packed.docids, lex_dim=packed.lex_dim, num_rows=n,
             value_scales=scales, pq_codes=pq_codes,
-            pq_centroids=pq_centroids, mesh=mesh,
+            pq_centroids=pq_centroids, mesh=mesh, shard_axes=axes,
         )

@@ -212,8 +212,12 @@ class Searcher:
             idx.dim if cfg.theta == 0.0 else min(cfg.max_important_dims, idx.dim)
         )
 
-        n_shard = n_total // (1 if self.mesh is None else
-                              self.mesh.shape[INDEX_AXIS])
+        shard_axes = getattr(idx, "shard_axes", (INDEX_AXIS,))
+        n_mesh_dev = 1
+        if self.mesh is not None:
+            for a in shard_axes:
+                n_mesh_dev *= self.mesh.shape[a]
+        n_shard = n_total // n_mesh_dev
         value_bytes = idx.values_T.dtype.itemsize
         pallas_tile = cfg.pallas_n_tile or _pick_pallas_tile(
             n_shard, value_bytes, cfg.pallas_unroll
@@ -281,13 +285,13 @@ class Searcher:
         # centroid tables ARE closed over — ~1 MB, replicated.)
         if cfg.mode == "pq":
             arrays = (idx.pq_codes,)
-            in_specs_arr = (P(INDEX_AXIS, None),)
+            in_specs_arr = (P(shard_axes, None),)
         elif has_gip:
             arrays = (idx.values_T, idx.indices_T)
-            in_specs_arr = (P(None, INDEX_AXIS), P(None, INDEX_AXIS))
+            in_specs_arr = (P(None, shard_axes), P(None, shard_axes))
         else:
             arrays = (idx.values_T,)
-            in_specs_arr = (P(None, INDEX_AXIS),)
+            in_specs_arr = (P(None, shard_axes),)
 
         if self.mesh is None or self.mesh.size == 1:
             def raw(qv, qi, *arrs):
@@ -299,8 +303,7 @@ class Searcher:
             return lambda qv, qi: run(qv, qi, *arrays)
 
         mesh = self.mesh
-        n_dev = mesh.shape[INDEX_AXIS]
-        n_local = n_total // n_dev
+        n_local = n_total // n_mesh_dev
         in_specs = (P(), P()) + in_specs_arr
 
         @functools.partial(
@@ -308,12 +311,15 @@ class Searcher:
             out_specs=(P(), P()), check_vma=False,
         )
         def sharded(qv, qi, *arrs):
-            shard_id = jax.lax.axis_index(INDEX_AXIS)
+            # shard_axes is ("host", "index") on a hybrid mesh: the collapsed
+            # axis_index is host-major, matching the row layout, and the
+            # tiny top-k all_gather is the only collective that crosses DCN
+            shard_id = jax.lax.axis_index(shard_axes)
             vals, rows = local(
                 qv, qi, arrs, shard_id * n_local, n_local
             )
-            all_vals = jax.lax.all_gather(vals, INDEX_AXIS, axis=-1, tiled=True)
-            all_rows = jax.lax.all_gather(rows, INDEX_AXIS, axis=-1, tiled=True)
+            all_vals = jax.lax.all_gather(vals, shard_axes, axis=-1, tiled=True)
+            all_rows = jax.lax.all_gather(rows, shard_axes, axis=-1, tiled=True)
             return merge_topk(all_vals, all_rows, min(k1, all_vals.shape[-1]))
 
         self._stage1_raw = sharded

@@ -451,3 +451,37 @@ def test_int8_lambda_theta_rerank_matches_oracle_ranking(rng):
         len(set(rows[b]) & set(want_rows[b])) / 10 for b in range(5)
     ])
     assert overlap >= 0.9, overlap
+
+
+def test_hybrid_host_mesh_search_equals_single_device(rng, eight_devices):
+    """(host, index) DCN-leading mesh: same rankings as the unsharded path."""
+    from dhr_tpu.parallel import make_hybrid_mesh
+
+    packed = build_corpus(rng, N=400)
+    qv, qi = build_queries(rng, B=6)
+    cfg = SearchConfig(topk=20, mode="gip", theta=0.3, rerank=True,
+                       agip_topk=64, max_important_dims=16, query_batch=8)
+    single = Searcher(DeviceIndex.from_packed(packed), cfg)
+    mesh = make_hybrid_mesh(eight_devices, num_hosts=2)
+    assert mesh.axis_names == ("host", "index") and mesh.shape["host"] == 2
+    idx = DeviceIndex.from_packed(packed, mesh=mesh)
+    assert idx.shard_axes == ("host", "index")
+    hybrid = Searcher(idx, cfg)
+    s1, r1 = single.search(qv, qi)
+    s2, r2 = hybrid.search(qv, qi)
+    np.testing.assert_allclose(s1, s2, rtol=1e-3)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_hybrid_host_mesh_ip_mode(rng, eight_devices):
+    from dhr_tpu.parallel import make_hybrid_mesh
+
+    packed = build_corpus(rng, N=160)
+    qv, qi = build_queries(rng, B=3)
+    mesh = make_hybrid_mesh(eight_devices, num_hosts=4)
+    s = Searcher(DeviceIndex.from_packed(packed, mesh=mesh),
+                 SearchConfig(topk=5, mode="ip", query_batch=4))
+    scores, rows = s.search(qv, qi)
+    want = qv.astype(np.float64) @ packed.values.astype(np.float64).T
+    _, wi = topk_oracle(want, 5)
+    np.testing.assert_array_equal(rows, wi)
