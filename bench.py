@@ -133,6 +133,16 @@ def kernel_hardware_smoke(index, qv1_scaled, qi, n_smoke_rows=204_800):
     assert diff <= 1e-3 * max(scale, 1.0), (
         f"pallas kernel diverges from scan path on hardware: {diff}"
     )
+    # the bf16-out candidate variant (serving default with rerank) must match
+    # within bf16 rounding of the same scores
+    got16 = partial_gip_scores_pallas(
+        qv_d, qi_d, vT, iT, LEX_DIM, MAX_IMPORTANT, n_tile=102_400, unroll=8,
+        out_dtype=jnp.bfloat16,
+    ).astype(jnp.float32)
+    diff16 = float(jnp.max(jnp.abs(got16 - want)))
+    assert diff16 <= 8e-3 * max(scale, 1.0), (
+        f"bf16-out kernel diverges beyond rounding on hardware: {diff16}"
+    )
     return diff
 
 

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _make_kernel(unroll: int):
+def _make_kernel(unroll: int, narrow_out: bool):
     """Kernel processing ``unroll`` important dims per grid step.
 
     Unrolling amortizes the per-grid-step fixed cost and, more importantly,
@@ -44,22 +44,28 @@ def _make_kernel(unroll: int):
     on v5e, one stream sustains only ~31 GB/s at 100-200 KB tiles, so
     aggregate bandwidth scales with stream count (U=1: 46.7 ms, U=8:
     40.6 ms bf16 / 31.9 ms int8 for B=64, I=48, N=1.64M).
+
+    ``narrow_out``: accumulate in an f32 VMEM scratch and cast to the
+    (narrower) output dtype on the last reduction step — halves the (B, N)
+    score write + the candidate top-k's read when the caller only needs
+    candidate ordering (exact rerank follows).
     """
 
     def _kernel(dims_ref, gates_ref, vals_ref, lex_ref,  # scalar prefetch
-                *refs):  # unroll vrow refs, unroll irow refs, out_ref
+                *refs):  # unroll vrow refs, unroll irow refs, out_ref[, acc]
         vrows = refs[:unroll]
         irows = refs[unroll:2 * unroll]
         out_ref = refs[2 * unroll]
+        acc_ref = refs[2 * unroll + 1] if narrow_out else out_ref
         b = pl.program_id(0)
         i = pl.program_id(2)
 
         @pl.when(i == 0)
         def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
         lex_dim = lex_ref[0]
-        acc = jnp.zeros_like(out_ref[0])
+        acc = jnp.zeros_like(acc_ref[0])
         for j in range(unroll):
             dim = dims_ref[b, i * unroll + j]
             gate_val = gates_ref[b, i * unroll + j]
@@ -72,12 +78,18 @@ def _make_kernel(unroll: int):
                 irows[j][0].astype(jnp.int32) == gate_val, dim >= lex_dim
             )
             acc += jnp.where(gate, row * v, 0.0)
-        out_ref[0] += acc
+        acc_ref[0] += acc
+        if narrow_out:
+            @pl.when(i == pl.num_programs(2) - 1)
+            def _():
+                out_ref[0] = acc_ref[0].astype(out_ref.dtype)
 
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_tile", "interpret", "unroll"))
+@functools.partial(
+    jax.jit, static_argnames=("n_tile", "interpret", "unroll", "out_dtype")
+)
 def pallas_partial_gip(
     imp_vals: jax.Array,     # (B, I) f32 — thresholded important values
     imp_dims: jax.Array,     # (B, I) i32 — dim ids
@@ -88,6 +100,7 @@ def pallas_partial_gip(
     n_tile: int = 4096,
     interpret: bool = False,
     unroll: int = 8,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Partial GIP scores (B, N) via the scalar-prefetch streaming kernel.
 
@@ -131,6 +144,7 @@ def pallas_partial_gip(
             ),
         )
 
+    narrow_out = jnp.dtype(out_dtype) != jnp.dtype(jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, n_tiles, n_imp // unroll),
@@ -142,11 +156,14 @@ def pallas_partial_gip(
             (1, ts, LANE),
             lambda b, n, i, dims, gates, vals, lex: (b, n, 0),
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((1, ts, LANE), jnp.float32)] if narrow_out else []
+        ),
     )
     out = pl.pallas_call(
-        _make_kernel(unroll),
+        _make_kernel(unroll, narrow_out),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N // LANE, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N // LANE, LANE), out_dtype),
         interpret=interpret,
     )(
         imp_dims.astype(jnp.int32), imp_gates.astype(jnp.int32),
@@ -158,11 +175,12 @@ def pallas_partial_gip(
 
 def partial_gip_scores_pallas(qv, qi, values_T, indices_T, lex_dim, n_dims,
                               n_tile: int = 4096, interpret: bool = False,
-                              unroll: int = 8):
+                              unroll: int = 8, out_dtype=jnp.float32):
     """Drop-in twin of ``searcher._partial_gip_scores`` using the kernel."""
     imp_val, imp_dim = jax.lax.top_k(qv, n_dims)
     imp_gate = jnp.take_along_axis(qi, imp_dim, axis=-1)
     return pallas_partial_gip(
         imp_val, imp_dim, imp_gate, values_T, indices_T, lex_dim,
         n_tile=n_tile, interpret=interpret, unroll=unroll,
+        out_dtype=out_dtype,
     )

@@ -89,6 +89,12 @@ class SearchConfig:
     # follows makes the effective recall@topk ~1 (borderline candidates are
     # the ones dropped).  0.99 costs 6.5x more than 0.95 on v5e.
     candidate_recall: float = 0.95
+    # bf16 candidate scores from the Pallas theta pass when an exact rerank
+    # follows: halves the (B, N) score write (measured 33.8 -> 31.6 ms per
+    # 64-query batch on v5e; the kernel still accumulates in f32 scratch).
+    # Only used with rerank=True — final scores always come from the exact
+    # f32 rerank.
+    candidate_bf16: bool = True
 
 
 _PALLAS_TILES = (819200, 409600, 262144, 204800, 131072, 102400, 65536, 51200, 32768,
@@ -101,14 +107,15 @@ def _pick_pallas_tile(
 ) -> int | None:
     """Largest tile that divides the shard AND fits the kernel in VMEM.
 
-    VMEM per tile = f32 out block + ``unroll`` double-buffered value/index
-    tile pairs; exceeding the ~16 MB scoped limit is a compile error
+    VMEM per tile = f32 accumulator (+ bf16 out block in candidate_bf16
+    mode, budgeted always) + ``unroll`` double-buffered value/index tile
+    pairs; exceeding the ~16 MB scoped limit is a compile error
     (measured: bf16 U=4 at n_tile=409600 fails with 16.23M > 16M).
     """
     for t in _PALLAS_TILES:
         if t > n_shard or n_shard % t:
             continue
-        vmem = t * 4 + unroll * 2 * t * (value_bytes + 1)
+        vmem = t * 6 + unroll * 2 * t * (value_bytes + 1)
         if vmem <= _VMEM_BUDGET:
             return t
     return None
@@ -244,10 +251,15 @@ class Searcher:
                 if pallas_ok:
                     from dhr_tpu.ops.pallas_gip import partial_gip_scores_pallas
 
+                    cand_dtype = (
+                        jnp.bfloat16
+                        if cfg.rerank and cfg.candidate_bf16
+                        else jnp.float32
+                    )
                     scores = partial_gip_scores_pallas(
                         qv, qi, values_T, indices_T, idx.lex_dim, n_dims,
                         n_tile=pallas_tile, interpret=cfg.pallas_interpret,
-                        unroll=cfg.pallas_unroll,
+                        unroll=cfg.pallas_unroll, out_dtype=cand_dtype,
                     )
                 else:
                     scores = _partial_gip_scores(

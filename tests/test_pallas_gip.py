@@ -60,3 +60,29 @@ def test_pallas_kernel_brute_force_equals_masked_gip(rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_kernel_bf16_out_close_to_f32(rng):
+    """candidate_bf16 mode: f32 scratch accumulation, bf16 only on the final
+    write — values match the f32 kernel within bf16 rounding."""
+    B, N, I, lex, cls, k = 4, 512, 12, 16, 4, 5
+    D = lex + cls
+    values_T = jnp.asarray(rng.random((D, N)), jnp.float32)
+    indices_T = jnp.asarray(rng.integers(0, k, (lex, N)), jnp.int8)
+    qv = jnp.asarray(
+        np.where(rng.random((B, D)) > 0.5, rng.random((B, D)), 0.0),
+        jnp.float32,
+    )
+    qi = jnp.asarray(
+        np.concatenate(
+            [rng.integers(0, k, (B, lex)), np.ones((B, cls))], axis=1
+        ), jnp.int32,
+    )
+    f32 = partial_gip_scores_pallas(
+        qv, qi, values_T, indices_T, lex, I, n_tile=128, interpret=True)
+    b16 = partial_gip_scores_pallas(
+        qv, qi, values_T, indices_T, lex, I, n_tile=128, interpret=True,
+        out_dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(b16, np.float32), np.asarray(f32), rtol=8e-3, atol=8e-3)

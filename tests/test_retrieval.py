@@ -270,7 +270,8 @@ def test_searcher_pallas_path_matches_scan(rng):
     cfg_pallas = SearchConfig(topk=10, theta=0.3, rerank=True, agip_topk=64,
                               max_important_dims=8, query_batch=4,
                               use_pallas=True, pallas_n_tile=4096,
-                              pallas_interpret=True, approx_candidates=False)
+                              pallas_interpret=True, approx_candidates=False,
+                              candidate_bf16=False)
     idx = DeviceIndex.from_packed(packed)
     s_scan = Searcher(idx, cfg_scan)
     s_pal = Searcher(idx, cfg_pallas)
@@ -278,6 +279,30 @@ def test_searcher_pallas_path_matches_scan(rng):
     v2, r2 = s_pal.search(qv, qi)
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_allclose(v1, v2, rtol=1e-4)
+
+
+def test_searcher_pallas_bf16_candidates_rerank(rng):
+    """Default candidate_bf16 mode: bf16 scores pick the candidate pool, the
+    exact f32 rerank orders it — top results must overlap the f32 path
+    heavily, and returned scores must equal the exact-GIP oracle."""
+    packed = build_corpus(rng, N=4096, lex=16, cls=4, k=5)
+    qv, qi = build_queries(rng, B=4)
+    common = dict(topk=10, theta=0.3, rerank=True, agip_topk=256,
+                  max_important_dims=8, query_batch=4, use_pallas=True,
+                  pallas_n_tile=4096, pallas_interpret=True,
+                  approx_candidates=False)
+    s_f32 = Searcher(DeviceIndex.from_packed(packed),
+                     SearchConfig(candidate_bf16=False, **common))
+    s_b16 = Searcher(DeviceIndex.from_packed(packed),
+                     SearchConfig(candidate_bf16=True, **common))
+    v1, r1 = s_f32.search(qv, qi)
+    v2, r2 = s_b16.search(qv, qi)
+    full = gip_oracle_scores(qv, qi, packed)
+    for b in range(4):
+        overlap = len(set(r1[b].tolist()) & set(r2[b].tolist())) / 10
+        assert overlap >= 0.9, (b, overlap)
+        # scores come from the exact rerank regardless of candidate dtype
+        np.testing.assert_allclose(v2[b], full[b, r2[b]], rtol=2e-3)
 
 
 def test_pq_mode_candidates_with_gip_rerank(rng):
