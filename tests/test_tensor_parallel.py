@@ -137,3 +137,49 @@ def test_fsdp_train_step_matches_unsharded(rng, eight_devices):
         ),
         s0.params, s1.params,
     )
+
+
+def test_hybrid_mesh_fsdp_dp_train_step(rng, eight_devices):
+    """Multi-host recipe: params FSDP-sharded over the inner (ICI) axis,
+    batch DP over the collapsed (host, data) axes — DCN carries only grad
+    all-reduces. Loss/params must match the unsharded step."""
+    import optax
+
+    from dhr_tpu.parallel import make_hybrid_mesh
+    from dhr_tpu.parallel.tp import shard_params_fsdp
+
+    cfg = tiny()
+    model = BiEncoder(cfg)
+    batch = make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), query=batch["query"],
+                        passage=batch["passage"])["params"]
+    step = jax.jit(make_train_step(model, cfg,
+                                   LossConfig(n_passages=2, remove_dims=6)))
+    key = jax.random.PRNGKey(1)
+
+    s0 = TrainState.create(params, optax.sgd(1e-2))
+    s0, m0 = step(s0, batch, key)
+
+    mesh = make_hybrid_mesh(eight_devices, inner_axis="data", num_hosts=2)
+    assert mesh.shape == {"host": 2, "data": 4}
+    with jax.set_mesh(mesh):
+        # params sharded over the inner axis only: all-gathers stay on ICI
+        fsdp_params = shard_params_fsdp(params, mesh, axis="data", min_size=64)
+        sharded_batch = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(("host", "data")))), batch
+        )
+        s1 = TrainState.create(fsdp_params, optax.sgd(1e-2))
+        key_r = jax.device_put(key, NamedSharding(mesh, P()))
+        s1, m1 = step(s1, sharded_batch, key_r)
+
+    assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-4
+    k = s1.params["encoder_q"]["backbone"]["encoder"]["layers_0"]["ffn_in"][
+        "kernel"]
+    assert len(k.sharding.device_set) == 8  # sharded over data, repl over host
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(jax.device_get(b)), atol=1e-4
+        ),
+        s0.params, s1.params,
+    )
