@@ -328,20 +328,15 @@ def cmd_encode(args):
         # sort-by-length batches padded to small bucket lengths: same reps
         # (masked positions), a fraction of the pad FLOPs on short-document
         # corpora; outputs are restored to input order below
-        from dhr_tpu.encode import plan_length_buckets
+        from dhr_tpu.encode import bucketed_encode_batches
 
-        plan, order = plan_length_buckets(
-            [len(t) + 2 for t in texts], args.batch_size, max_len
+        _bucketed, order = bucketed_encode_batches(
+            ids, texts, args.batch_size, max_len,
+            args.cls_token_id, args.sep_token_id,
         )
 
         def batches():
-            for sel, blen in plan:
-                yield collate_encode(
-                    [ids[i] for i in sel],
-                    [wrap_specials(texts[i], blen, args.cls_token_id,
-                                   args.sep_token_id) for i in sel],
-                    blen,
-                )
+            return _bucketed
     else:
         def batches():
             for start in range(0, len(ids), args.batch_size):

@@ -243,3 +243,37 @@ def plan_length_buckets(
         blen = next(b for b in menu if b >= need)
         plan.append((sel, blen))
     return plan, order
+
+
+def bucketed_encode_batches(
+    ids, toks, batch_size: int, max_len: int,
+    cls_id: int | None, sep_id: int | None,
+):
+    """Length-bucketed encode batches over pre-tokenized texts (no specials).
+
+    The single place that encodes the bucketing invariants shared by the
+    ``encode`` CLI verb and the BEIR harness: per-item length is
+    ``len(t) + 2`` (the [CLS]/[SEP] budget ``wrap_specials`` will add —
+    an over-estimate when either id is None, which only over-sizes a
+    bucket, never changes truncation), and each batch wraps/pads to its
+    bucket length so reps are identical to the pad-to-``max_len`` path.
+
+    Returns ``(batches, order)``: a generator of ``collate_encode`` batches
+    and the item order they cover (outputs restore to input order via
+    ``np.argsort(order)``; id-keyed consumers can ignore it).
+    """
+    from dhr_tpu.data.collate import collate_encode, wrap_specials
+
+    plan, order = plan_length_buckets(
+        [len(t) + 2 for t in toks], batch_size, max_len
+    )
+
+    def gen():
+        for sel, blen in plan:
+            yield collate_encode(
+                [ids[i] for i in sel],
+                [wrap_specials(toks[i], blen, cls_id, sep_id) for i in sel],
+                blen,
+            )
+
+    return gen(), order

@@ -125,22 +125,17 @@ def _tokenize_batches(items: dict[str, str], tokenizer, max_len: int,
         # cut pad FLOPs by the mean/max length ratio.  Output order follows
         # the length sort, which is fine here: search results and qrels are
         # keyed by id, never by row position.
-        from dhr_tpu.encode import plan_length_buckets
+        from dhr_tpu.encode import bucketed_encode_batches
 
         toks = [
             tokenizer.encode(items[i], add_special_tokens=False,
                              max_length=max_len, truncation=True)
             for i in ids
         ]
-        plan, _ = plan_length_buckets(
-            [len(t) + 2 for t in toks], batch_size, max_len
+        batches, _ = bucketed_encode_batches(
+            ids, toks, batch_size, max_len, cls_id, sep_id
         )
-        for sel, blen in plan:
-            yield collate_encode(
-                [ids[i] for i in sel],
-                [wrap_specials(toks[i], blen, cls_id, sep_id) for i in sel],
-                blen,
-            )
+        yield from batches
         return
     for start in range(0, len(ids), batch_size):
         chunk = ids[start: start + batch_size]

@@ -59,16 +59,44 @@ def make_hybrid_mesh(
             f"{len(devices)} devices do not divide into {num_hosts} hosts"
         )
     devices = sorted(devices, key=lambda d: (d.process_index, d.id))
-    arr = np.asarray(devices).reshape(num_hosts, len(devices) // num_hosts)
+    per_host = len(devices) // num_hosts
+    arr = np.asarray(devices).reshape(num_hosts, per_host)
+    # The whole point of this constructor is that each mesh row is ONE
+    # host's chips (heavy collectives stay on ICI).  A filtered device list
+    # with unequal per-host counts can pass the divisibility check yet make
+    # rows silently span processes — reject that, unless the caller is
+    # simulating hosts on a single process (num_hosts override there).
+    n_procs = len({d.process_index for d in devices})
+    if n_procs > 1:
+        for row in arr:
+            procs = {d.process_index for d in row}
+            if len(procs) > 1:
+                counts = {}
+                for d in devices:
+                    counts[d.process_index] = counts.get(d.process_index, 0) + 1
+                raise ValueError(
+                    f"devices do not group into {num_hosts} equal hosts: "
+                    f"per-process counts {counts}; a mesh row would span "
+                    f"processes, putting the inner axis on DCN"
+                )
     return Mesh(arr, (host_axis, inner_axis))
 
 
 def row_axes(mesh: Mesh | None, axis: str = INDEX_AXIS) -> tuple[str, ...]:
-    """The mesh axes row-sharding should span: ``(host, axis)`` on a hybrid
-    mesh, else ``(axis,)``.  Host-major order keeps shard ids contiguous per
-    host, so per-shard row offsets map to host-local index slices."""
-    if mesh is not None and HOST_AXIS in mesh.axis_names \
-            and axis in mesh.axis_names:
+    """The mesh axes row-sharding should span: ``(outer, axis)`` on a 2-D
+    hybrid mesh, else ``(axis,)``.  Outer-major order keeps shard ids
+    contiguous per host, so per-shard row offsets map to host-local index
+    slices.
+
+    Any 2-D mesh containing ``axis`` counts as hybrid regardless of what
+    the outer axis is called (``make_hybrid_mesh(host_axis=...)`` lets
+    callers rename it); for >2-D meshes only the conventional
+    :data:`HOST_AXIS` name is recognized."""
+    if mesh is None or axis not in mesh.axis_names:
+        return (axis,)
+    if len(mesh.axis_names) == 2:
+        return tuple(mesh.axis_names)  # (outer, inner) in mesh order
+    if HOST_AXIS in mesh.axis_names:
         return (HOST_AXIS, axis)
     return (axis,)
 

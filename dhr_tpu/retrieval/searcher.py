@@ -103,19 +103,21 @@ _VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the ~16 MB scoped limit
 
 
 def _pick_pallas_tile(
-    n_shard: int, value_bytes: int = 2, unroll: int = 8
+    n_shard: int, value_bytes: int = 2, unroll: int = 8,
+    narrow_out: bool = False,
 ) -> int | None:
     """Largest tile that divides the shard AND fits the kernel in VMEM.
 
-    VMEM per tile = f32 accumulator (+ bf16 out block in candidate_bf16
-    mode, budgeted always) + ``unroll`` double-buffered value/index tile
-    pairs; exceeding the ~16 MB scoped limit is a compile error
-    (measured: bf16 U=4 at n_tile=409600 fails with 16.23M > 16M).
+    VMEM per tile = f32 accumulator (+ a separate bf16 out block when
+    ``narrow_out``) + ``unroll`` double-buffered value/index tile pairs;
+    exceeding the ~16 MB scoped limit is a compile error (measured: bf16
+    U=4 at n_tile=409600 fails with 16.23M > 16M).
     """
+    out_bytes = 6 if narrow_out else 4
     for t in _PALLAS_TILES:
         if t > n_shard or n_shard % t:
             continue
-        vmem = t * 6 + unroll * 2 * t * (value_bytes + 1)
+        vmem = t * out_bytes + unroll * 2 * t * (value_bytes + 1)
         if vmem <= _VMEM_BUDGET:
             return t
     return None
@@ -226,8 +228,13 @@ class Searcher:
                 n_mesh_dev *= self.mesh.shape[a]
         n_shard = n_total // n_mesh_dev
         value_bytes = idx.values_T.dtype.itemsize
+        cand_dtype = (
+            jnp.bfloat16 if cfg.rerank and cfg.candidate_bf16
+            else jnp.float32
+        )
         pallas_tile = cfg.pallas_n_tile or _pick_pallas_tile(
-            n_shard, value_bytes, cfg.pallas_unroll
+            n_shard, value_bytes, cfg.pallas_unroll,
+            narrow_out=cand_dtype != jnp.float32,
         )
         pallas_ok = (
             has_gip
@@ -251,11 +258,6 @@ class Searcher:
                 if pallas_ok:
                     from dhr_tpu.ops.pallas_gip import partial_gip_scores_pallas
 
-                    cand_dtype = (
-                        jnp.bfloat16
-                        if cfg.rerank and cfg.candidate_bf16
-                        else jnp.float32
-                    )
                     scores = partial_gip_scores_pallas(
                         qv, qi, values_T, indices_T, idx.lex_dim, n_dims,
                         n_tile=pallas_tile, interpret=cfg.pallas_interpret,

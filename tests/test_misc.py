@@ -122,3 +122,38 @@ def test_mesh_helpers(eight_devices):
     sharding = row_sharded(mesh)
     x = jax.device_put(jnp.zeros((16, 3)), sharding)
     assert len(x.sharding.device_set) == 8
+
+
+def test_make_hybrid_mesh_rejects_uneven_host_grouping():
+    """A filtered device list whose rows would span processes must raise
+    (divisibility alone is not enough — rows must be single-host)."""
+    import types
+
+    import pytest
+
+    from dhr_tpu.parallel import make_hybrid_mesh
+
+    def dev(proc, i):
+        return types.SimpleNamespace(process_index=proc, id=i)
+
+    devices = [dev(0, i) for i in range(3)] + [dev(1, i) for i in range(5)]
+    with pytest.raises(ValueError, match="span processes"):
+        make_hybrid_mesh(devices, num_hosts=2)
+
+
+def test_row_axes_recognizes_renamed_outer_axis(eight_devices):
+    """make_hybrid_mesh(host_axis=...) must still row-shard over both axes."""
+    import numpy as np
+
+    from jax.sharding import Mesh
+
+    from dhr_tpu.parallel import make_hybrid_mesh, row_axes
+
+    mesh = make_hybrid_mesh(eight_devices, num_hosts=2, host_axis="pod")
+    assert mesh.axis_names == ("pod", "index")
+    assert row_axes(mesh, "index") == ("pod", "index")
+    # 1-D mesh unchanged
+    assert row_axes(Mesh(np.asarray(eight_devices), ("index",)), "index") \
+        == ("index",)
+    # axis missing from the mesh: fall back to the bare axis
+    assert row_axes(mesh, "data") == ("data",)
