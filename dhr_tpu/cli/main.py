@@ -527,7 +527,8 @@ def cmd_serve(args):
             query_batch=args.query_batch,
         ),
     )
-    serve(searcher, host=args.host, port=args.port)
+    serve(searcher, host=args.host, port=args.port,
+          micro_batch_ms=args.micro_batch_ms)
 
 
 def cmd_merge_runs(args):
@@ -923,6 +924,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--query-batch", type=int, default=64)
     p.add_argument("--shard-over-devices", action="store_true")
+    p.add_argument("--micro-batch-ms", type=float, default=0.0,
+                   help="> 0: threaded server + device-worker coalescing — "
+                        "concurrent requests pool into one padded search "
+                        "batch, waiting at most this window for stragglers")
     p.add_argument("--config", default=None)
     p.set_defaults(_subparser=p, fn=cmd_serve)
 

@@ -10,26 +10,124 @@ index resident and answers queries from a small stdlib HTTP server:
 - ``GET /healthz``   {"status": "ok", "rows": N}
 - ``GET /stats``     index diagnostics (retrieval/stats.py)
 
-Single-threaded by design: the TPU executes one program at a time, so
-requests queue at the server and batch through the compiled search programs.
+Two execution modes:
+
+- default: single-threaded server; each request runs the compiled search
+  programs directly (requests queue at the socket).
+- ``micro_batch_ms > 0``: threaded server + a single device-worker thread
+  that coalesces concurrent requests into one padded search batch (up to
+  ``SearchConfig.query_batch`` queries, waiting at most the window for
+  stragglers).  Single-query requests then share one program dispatch
+  instead of each paying the full padded batch — the TPU still executes
+  exactly one program at a time, but at full occupancy.
 """
 
 from __future__ import annotations
 
 import json
 import logging
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 
 import numpy as np
 
 logger = logging.getLogger("dhr_tpu.serve")
 
 
+class MicroBatcher:
+    """Coalesces concurrent search requests into one device batch.
+
+    One worker thread owns the searcher (and therefore the TPU): it pulls a
+    request, waits up to ``window_ms`` for more until ``query_batch`` queries
+    are pooled, runs ONE ``search_run``, and fans results back per request.
+    Duplicate qids across pooled requests are disambiguated internally, so
+    callers never see each other's rows.
+    """
+
+    def __init__(self, searcher, window_ms: float = 3.0):
+        self.searcher = searcher
+        self.window = window_ms / 1000.0
+        self.batches_run = 0          # introspection/tests
+        self.max_batch_seen = 0
+        self._q: queue.Queue = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def search(self, qids, values, indices):
+        done = threading.Event()
+        slot: dict = {}
+        self._q.put((list(qids), values, indices, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["results"], slot["scores"]
+
+    def _loop(self):
+        cap = self.searcher.config.query_batch
+        while True:
+            batch = [self._q.get()]
+            n = len(batch[0][0])
+            deadline = time.perf_counter() + self.window
+            while n < cap:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                batch.append(item)
+                n += len(item[0])
+            self._run(batch)
+
+    def _run(self, batch):
+        # unique internal ids: request i's qid q becomes "i:q"
+        uids, vals, idxs = [], [], []
+        for i, (qids, values, indices, _, _) in enumerate(batch):
+            uids.extend(f"{i}:{q}" for q in qids)
+            vals.append(np.asarray(values, np.float32))
+            idxs.append(None if indices is None else
+                        np.asarray(indices, np.int32))
+        try:
+            # mixed dense/lexical requests can't share one program
+            mixed = any((x is None) != (idxs[0] is None) for x in idxs)
+            if mixed:
+                # rare: fall back to per-request execution
+                for qids, values, indices, done, slot in batch:
+                    try:
+                        r, s = self.searcher.search_run(qids, values, indices)
+                        slot["results"], slot["scores"] = r, s
+                    except Exception as e:  # noqa: BLE001
+                        slot["error"] = e
+                    done.set()
+                return
+            values = np.concatenate(vals, axis=0)
+            indices = None if idxs[0] is None else np.concatenate(idxs, axis=0)
+            results, scores = self.searcher.search_run(uids, values, indices)
+            self.batches_run += 1
+            self.max_batch_seen = max(self.max_batch_seen, len(uids))
+        except Exception as e:  # noqa: BLE001
+            for _, _, _, done, slot in batch:
+                slot["error"] = e
+                done.set()
+            return
+        for i, (qids, _, _, done, slot) in enumerate(batch):
+            slot["results"] = {q: results[f"{i}:{q}"] for q in qids}
+            slot["scores"] = {q: scores[f"{i}:{q}"] for q in qids}
+            done.set()
+
+
 class SearchService:
     """Wraps a Searcher with a JSON request/response surface."""
 
-    def __init__(self, searcher):
+    def __init__(self, searcher, micro_batch_ms: float = 0.0):
         self.searcher = searcher
+        self.batcher = (
+            MicroBatcher(searcher, micro_batch_ms) if micro_batch_ms > 0
+            else None
+        )
 
     def search(self, payload: dict) -> dict:
         values = np.asarray(payload["values"], np.float32)
@@ -37,12 +135,15 @@ class SearchService:
         if indices is not None:
             indices = np.asarray(indices, np.int32)
         qids = payload.get("qids") or [str(i) for i in range(len(values))]
-        results, scores = self.searcher.search_run(qids, values, indices)
+        if self.batcher is not None:
+            results, scores = self.batcher.search(qids, values, indices)
+        else:
+            results, scores = self.searcher.search_run(qids, values, indices)
         return {"results": results, "scores": scores}
 
     def stats(self) -> dict:
         idx = self.searcher.index
-        return {
+        out = {
             "rows": int(idx.num_rows),
             "dim": int(idx.dim),
             "lex_dim": int(idx.lex_dim),
@@ -51,6 +152,10 @@ class SearchService:
             "theta": self.searcher.config.theta,
             "topk": self.searcher.config.topk,
         }
+        if self.batcher is not None:
+            out["micro_batches_run"] = self.batcher.batches_run
+            out["micro_batch_max_queries"] = self.batcher.max_batch_seen
+        return out
 
 
 def make_handler(service: SearchService):
@@ -89,10 +194,17 @@ def make_handler(service: SearchService):
     return Handler
 
 
-def serve(searcher, host: str = "127.0.0.1", port: int = 8080):
-    """Blocking serve loop."""
-    service = SearchService(searcher)
-    server = HTTPServer((host, port), make_handler(service))
-    logger.info("serving %d rows on %s:%d", searcher.index.num_rows, host,
-                port)
+def serve(searcher, host: str = "127.0.0.1", port: int = 8080,
+          micro_batch_ms: float = 0.0):
+    """Blocking serve loop.
+
+    ``micro_batch_ms > 0`` switches to the threaded server + device-worker
+    coalescing (see :class:`MicroBatcher`): concurrent single-query requests
+    share one padded program dispatch.
+    """
+    service = SearchService(searcher, micro_batch_ms=micro_batch_ms)
+    server_cls = ThreadingHTTPServer if micro_batch_ms > 0 else HTTPServer
+    server = server_cls((host, port), make_handler(service))
+    logger.info("serving %d rows on %s:%d (micro_batch_ms=%s)",
+                searcher.index.num_rows, host, port, micro_batch_ms)
     server.serve_forever()

@@ -71,3 +71,104 @@ def test_http_service_roundtrip(rng):
     finally:
         server.shutdown()
         t.join(timeout=5)
+
+
+def test_micro_batcher_coalesces_and_demuxes(rng):
+    """Concurrent requests pool into one device batch; each caller gets only
+    its own qids back, even when qids collide across requests."""
+    from dhr_tpu.serve import MicroBatcher
+
+    values = (rng.random((32, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (32, 12)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(32)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=12)
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=5, mode="gip", theta=0.0, query_batch=8),
+    )
+    # direct (unbatched) reference answers
+    want = {}
+    for i in range(4):
+        r, _ = searcher.search_run(
+            ["q"], packed.values[i: i + 1].astype(np.float32),
+            packed.indices[i: i + 1].astype(np.int32))
+        want[i] = r["q"]
+
+    batcher = MicroBatcher(searcher, window_ms=500.0)
+    got = {}
+    errs = []
+
+    def one(i):
+        try:
+            # every request uses the SAME qid "q" — collisions must demux
+            r, s = batcher.search(
+                ["q"], packed.values[i: i + 1].astype(np.float32),
+                packed.indices[i: i + 1].astype(np.int32))
+            got[i] = r["q"]
+            assert len(s["q"]) == 5
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs, errs
+    for i in range(4):
+        assert list(got[i]) == list(want[i]), i
+        assert got[i][0] == f"d{i}"  # self-match first, per request
+    # with a 500 ms window the 4 requests coalesced into 1-2 batches
+    assert batcher.batches_run <= 2
+    assert batcher.max_batch_seen >= 2
+
+
+def test_http_service_micro_batch_mode(rng):
+    """Threaded server + micro-batching returns the same per-request
+    results as direct mode and reports batch stats."""
+    from http.server import ThreadingHTTPServer
+
+    values = (rng.random((32, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (32, 12)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(32)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=12)
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=5, mode="gip", theta=0.0, query_batch=8),
+    )
+    service = SearchService(searcher, micro_batch_ms=200.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        results = {}
+
+        def ask(i):
+            payload = json.dumps({
+                "values": packed.values[i: i + 1].astype(np.float32).tolist(),
+                "indices": packed.indices[i: i + 1].astype(int).tolist(),
+                "qids": ["q"],
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search", data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                results[i] = json.loads(r.read())["results"]["q"]
+
+        threads = [threading.Thread(target=ask, args=(i,)) for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        for i in range(3):
+            assert results[i][0] == f"d{i}"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["micro_batches_run"] >= 1
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
