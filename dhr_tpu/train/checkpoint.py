@@ -41,6 +41,55 @@ def save_train_state(ckpt_dir: str, state: TrainState) -> str:
     return path
 
 
+class AsyncCheckpointer:
+    """Background-thread mid-run saves so training never stalls on IO.
+
+    ``save_train_state`` synchronously downloads params + optimizer moments
+    (hundreds of MB at DistilBERT scale — tens of seconds through a slow
+    host link) and serializes them; doing that inline stalls the step loop.
+    Since ``TrainState`` is functional (every step produces NEW arrays),
+    handing the current state to a worker thread is snapshot-safe: the
+    thread's ``device_get`` reads arrays the loop will never mutate.
+
+    At most one save is in flight; a new save waits for the previous one
+    (keeping at most one stall, and only under save-faster-than-IO misuse).
+    Call :meth:`wait` before reading checkpoints or exiting.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread = None
+        self._path: str | None = None
+        self._error: BaseException | None = None
+
+    def save(self, ckpt_dir: str, state: TrainState) -> None:
+        self.wait()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+        def run():
+            try:
+                self._path = save_train_state(ckpt_dir, state)
+            except BaseException as e:  # noqa: BLE001 - surfaced on wait()
+                self._error = e
+
+        self._thread = self._threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> str | None:
+        """Join the in-flight save; returns its path (or raises its error)."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+        return self._path
+
+
 def latest_step(ckpt_dir: str) -> int | None:
     if not os.path.isdir(ckpt_dir):
         return None

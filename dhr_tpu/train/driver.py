@@ -148,6 +148,9 @@ def run_training(
         t0 = time.time()
         if run_cfg.profile_dir:
             jax.profiler.start_trace(run_cfg.profile_dir)
+        from dhr_tpu.train.checkpoint import AsyncCheckpointer
+
+        ckptr = AsyncCheckpointer()
         try:
             for epoch in range(run_cfg.num_epochs):
                 for batch in loader.epoch(epoch):
@@ -158,7 +161,10 @@ def run_training(
                     if gstep % run_cfg.log_steps == 0:
                         log_interval(epoch)
                     if run_cfg.ckpt_dir and gstep % run_cfg.save_steps == 0:
-                        save_train_state(run_cfg.ckpt_dir, state)
+                        # background save: TrainState is functional, so the
+                        # worker's device_get reads a stable snapshot while
+                        # the loop keeps dispatching steps
+                        ckptr.save(run_cfg.ckpt_dir, state)
             if losses:
                 log_interval(run_cfg.num_epochs - 1)
         except Exception:
@@ -166,6 +172,10 @@ def run_training(
             # persist the last good state so the run restarts where it died
             if run_cfg.ckpt_dir:
                 try:
+                    try:
+                        ckptr.wait()  # don't race the in-flight save
+                    except Exception:  # noqa: BLE001
+                        logger.exception("in-flight checkpoint failed")
                     path = save_train_state(run_cfg.ckpt_dir, state)
                     logger.error("training failed; emergency checkpoint at %s",
                                  path)
@@ -177,6 +187,7 @@ def run_training(
                 jax.profiler.stop_trace()
             if metrics_f is not None:
                 metrics_f.close()
+        ckptr.wait()
     if run_cfg.ckpt_dir:
         save_train_state(run_cfg.ckpt_dir, state)
     return state

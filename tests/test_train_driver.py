@@ -110,3 +110,46 @@ def test_metrics_jsonl(rng, tmp_path):
     assert [r["step"] for r in rows] == [2, 3]
     assert all(np.isfinite(r["loss"]) for r in rows)
     assert all(r["steps_per_sec"] > 0 for r in rows)
+
+
+def test_async_checkpointer_snapshot_and_errors(rng, tmp_path):
+    """Background save produces a restorable checkpoint of the state it was
+    HANDED (not a later one), and worker errors surface on the next call."""
+    import optax
+
+    from dhr_tpu.models.retrievers import BiEncoder
+    from dhr_tpu.train import TrainState
+    from dhr_tpu.train.checkpoint import (
+        AsyncCheckpointer,
+        latest_step,
+        restore_train_state,
+    )
+
+    cfg = RetrieverConfig(
+        model_type="dense",
+        encoder=EncoderConfig.tiny(vocab_size=64),
+        add_pooler=True, projection_dim=4,
+    )
+    model = BiEncoder(cfg)
+    batch = {"input_ids": jnp.ones((2, 4), jnp.int32),
+             "attention_mask": jnp.ones((2, 4), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), query=batch,
+                        passage=batch)["params"]
+    s0 = TrainState.create(params, optax.sgd(1e-2))
+    ckptr = AsyncCheckpointer()
+    ckpt_dir = str(tmp_path / "ck")
+    ckptr.save(ckpt_dir, s0)
+    # mutate the live state AFTER handing s0 to the worker: functional
+    # updates produce new arrays, so the snapshot must be of step 0
+    s1 = s0.replace(step=s0.step + 5)
+    del s1
+    path = ckptr.wait()
+    assert path and latest_step(ckpt_dir) == 0
+    restored = restore_train_state(ckpt_dir, s0)
+    assert int(jax.device_get(restored.step)) == 0
+
+    # worker errors surface on wait()
+    bad = AsyncCheckpointer()
+    bad.save("/proc/definitely/not/writable", s0)
+    with pytest.raises(Exception):
+        bad.wait()
