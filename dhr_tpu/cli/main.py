@@ -486,6 +486,9 @@ def cmd_search(args):
             lam=args.lamda,
             max_important_dims=args.max_important_dims,
             query_batch=args.query_batch,
+            approx_candidates=not args.exact_candidates,
+            candidate_recall=args.candidate_recall,
+            candidate_bf16=not args.no_candidate_bf16,
         ),
     )
     results, scores = searcher.search_run(qids, qv, qi)
@@ -525,6 +528,9 @@ def cmd_serve(args):
             lam=args.lamda,
             max_important_dims=args.max_important_dims,
             query_batch=args.query_batch,
+            approx_candidates=not args.exact_candidates,
+            candidate_recall=args.candidate_recall,
+            candidate_bf16=not args.no_candidate_bf16,
         ),
     )
     serve(searcher, host=args.host, port=args.port,
@@ -890,6 +896,16 @@ def build_parser() -> argparse.ArgumentParser:
              "(exact again after --rerank)",
     )
     p.add_argument("--query-batch", type=int, default=64)
+    p.add_argument("--candidate-recall", type=float, default=0.95,
+                   help="approx_max_k recall target for the candidate pool "
+                        "(0.85 documented for latency-sensitive serving; "
+                        "top-1000 recall 0.9953 at the bench point)")
+    p.add_argument("--exact-candidates", action="store_true",
+                   help="exact top-k candidate generation instead of "
+                        "approx_max_k (slower; candidate recall 1.0)")
+    p.add_argument("--no-candidate-bf16", action="store_true",
+                   help="keep f32 stage-1 candidate scores (bf16 is the "
+                        "default with --rerank; recall measured unchanged)")
     p.add_argument("--total-shard", type=int, default=1)
     p.add_argument("--shard", type=int, default=0)
     p.add_argument("--shard-over-devices", action="store_true")
@@ -923,6 +939,10 @@ def build_parser() -> argparse.ArgumentParser:
              "(exact again after --rerank)",
     )
     p.add_argument("--query-batch", type=int, default=64)
+    p.add_argument("--candidate-recall", type=float, default=0.95,
+                   help="approx_max_k recall target for the candidate pool")
+    p.add_argument("--exact-candidates", action="store_true")
+    p.add_argument("--no-candidate-bf16", action="store_true")
     p.add_argument("--shard-over-devices", action="store_true")
     p.add_argument("--micro-batch-ms", type=float, default=0.0,
                    help="> 0: threaded server + device-worker coalescing — "

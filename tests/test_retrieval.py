@@ -510,3 +510,20 @@ def test_hybrid_host_mesh_ip_mode(rng, eight_devices):
     want = qv.astype(np.float64) @ packed.values.astype(np.float64).T
     _, wi = topk_oracle(want, 5)
     np.testing.assert_array_equal(rows, wi)
+
+
+def test_pq_hybrid_mesh_equals_single_device(rng, eight_devices):
+    """PQ codes shard over the collapsed (host, index) axes too."""
+    from dhr_tpu.parallel import make_hybrid_mesh
+
+    packed = build_corpus(rng, N=320).quantize_pq(m=4, iters=5)
+    qv, qi = build_queries(rng, B=4)
+    cfg = SearchConfig(topk=10, mode="pq", rerank=True, agip_topk=64,
+                       query_batch=4)
+    single = Searcher(DeviceIndex.from_packed(packed), cfg)
+    mesh = make_hybrid_mesh(eight_devices, num_hosts=2)
+    hybrid = Searcher(DeviceIndex.from_packed(packed, mesh=mesh), cfg)
+    s1, r1 = single.search(qv, qi)
+    s2, r2 = hybrid.search(qv, qi)
+    np.testing.assert_allclose(s1, s2, rtol=1e-3)
+    np.testing.assert_array_equal(r1, r2)
