@@ -533,8 +533,17 @@ def cmd_serve(args):
             candidate_bf16=not args.no_candidate_bf16,
         ),
     )
+    small = None
+    if args.micro_batch_ms > 0 and args.low_latency_batch > 0:
+        import dataclasses as _dc
+
+        small = Searcher(
+            searcher.index,
+            _dc.replace(searcher.config,
+                        query_batch=args.low_latency_batch),
+        )
     serve(searcher, host=args.host, port=args.port,
-          micro_batch_ms=args.micro_batch_ms)
+          micro_batch_ms=args.micro_batch_ms, small_searcher=small)
 
 
 def cmd_merge_runs(args):
@@ -948,6 +957,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="> 0: threaded server + device-worker coalescing — "
                         "concurrent requests pool into one padded search "
                         "batch, waiting at most this window for stragglers")
+    p.add_argument("--low-latency-batch", type=int, default=0,
+                   help="> 0 (with --micro-batch-ms): also compile a "
+                        "small-batch search program over the same index; "
+                        "pools that fit it skip the full padded batch "
+                        "(lone queries get low latency)")
     p.add_argument("--config", default=None)
     p.set_defaults(_subparser=p, fn=cmd_serve)
 

@@ -44,10 +44,19 @@ class MicroBatcher:
     are pooled, runs ONE ``search_run``, and fans results back per request.
     Duplicate qids across pooled requests are disambiguated internally, so
     callers never see each other's rows.
+
+    ``small_searcher`` (optional): a second Searcher over the SAME
+    DeviceIndex compiled at a small ``query_batch``; pools that fit it run
+    there instead — the theta-pass/candidate/rerank programs all scale with
+    the batch dim, so a lone query stops paying the full 64-query padded
+    program (low-latency path).
     """
 
-    def __init__(self, searcher, window_ms: float = 3.0):
+    def __init__(self, searcher, window_ms: float = 3.0,
+                 small_searcher=None):
         self.searcher = searcher
+        self.small = small_searcher
+        self.small_batches_run = 0
         self.window = window_ms / 1000.0
         self.batches_run = 0          # introspection/tests
         self.max_batch_seen = 0
@@ -105,7 +114,12 @@ class MicroBatcher:
                 return
             values = np.concatenate(vals, axis=0)
             indices = None if idxs[0] is None else np.concatenate(idxs, axis=0)
-            results, scores = self.searcher.search_run(uids, values, indices)
+            engine = self.searcher
+            if (self.small is not None
+                    and len(uids) <= self.small.config.query_batch):
+                engine = self.small
+                self.small_batches_run += 1
+            results, scores = engine.search_run(uids, values, indices)
             self.batches_run += 1
             self.max_batch_seen = max(self.max_batch_seen, len(uids))
         except Exception as e:  # noqa: BLE001
@@ -122,11 +136,13 @@ class MicroBatcher:
 class SearchService:
     """Wraps a Searcher with a JSON request/response surface."""
 
-    def __init__(self, searcher, micro_batch_ms: float = 0.0):
+    def __init__(self, searcher, micro_batch_ms: float = 0.0,
+                 small_searcher=None):
         self.searcher = searcher
         self.batcher = (
-            MicroBatcher(searcher, micro_batch_ms) if micro_batch_ms > 0
-            else None
+            MicroBatcher(searcher, micro_batch_ms,
+                         small_searcher=small_searcher)
+            if micro_batch_ms > 0 else None
         )
 
     def search(self, payload: dict) -> dict:
@@ -155,6 +171,11 @@ class SearchService:
         if self.batcher is not None:
             out["micro_batches_run"] = self.batcher.batches_run
             out["micro_batch_max_queries"] = self.batcher.max_batch_seen
+            if self.batcher.small is not None:
+                out["low_latency_batches_run"] = \
+                    self.batcher.small_batches_run
+                out["low_latency_batch"] = \
+                    int(self.batcher.small.config.query_batch)
         return out
 
 
@@ -195,14 +216,16 @@ def make_handler(service: SearchService):
 
 
 def serve(searcher, host: str = "127.0.0.1", port: int = 8080,
-          micro_batch_ms: float = 0.0):
+          micro_batch_ms: float = 0.0, small_searcher=None):
     """Blocking serve loop.
 
     ``micro_batch_ms > 0`` switches to the threaded server + device-worker
     coalescing (see :class:`MicroBatcher`): concurrent single-query requests
-    share one padded program dispatch.
+    share one padded program dispatch.  ``small_searcher`` adds the
+    low-latency small-batch route for pools that fit it.
     """
-    service = SearchService(searcher, micro_batch_ms=micro_batch_ms)
+    service = SearchService(searcher, micro_batch_ms=micro_batch_ms,
+                            small_searcher=small_searcher)
     server_cls = ThreadingHTTPServer if micro_batch_ms > 0 else HTTPServer
     server = server_cls((host, port), make_handler(service))
     logger.info("serving %d rows on %s:%d (micro_batch_ms=%s)",

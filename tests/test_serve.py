@@ -172,3 +172,31 @@ def test_http_service_micro_batch_mode(rng):
     finally:
         server.shutdown()
         t.join(timeout=5)
+
+
+def test_micro_batcher_low_latency_route(rng):
+    """Pools that fit the small searcher run there; results identical."""
+    import dataclasses
+
+    from dhr_tpu.serve import MicroBatcher
+
+    values = (rng.random((32, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (32, 12)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(32)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=12)
+    idx = DeviceIndex.from_packed(packed)
+    cfg = SearchConfig(topk=5, mode="gip", theta=0.0, query_batch=8)
+    big = Searcher(idx, cfg)
+    small = Searcher(idx, dataclasses.replace(cfg, query_batch=2))
+    batcher = MicroBatcher(big, window_ms=1.0, small_searcher=small)
+    r, s = batcher.search(
+        ["q"], packed.values[3:4].astype(np.float32),
+        packed.indices[3:4].astype(np.int32))
+    assert r["q"][0] == "d3"
+    assert batcher.small_batches_run == 1
+    # a full-size pool routes to the big searcher
+    r8, _ = batcher.search(
+        [f"q{i}" for i in range(8)], packed.values[:8].astype(np.float32),
+        packed.indices[:8].astype(np.int32))
+    assert all(r8[f"q{i}"][0] == f"d{i}" for i in range(8))
+    assert batcher.small_batches_run == 1  # unchanged
