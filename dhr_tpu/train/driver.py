@@ -49,6 +49,11 @@ class RunConfig:
     gc_p_chunks: int = 8
     profile_dir: str | None = None
     metrics_path: str | None = None  # per-interval metrics JSONL for dashboards
+    # PRNG implementation for the dropout stream.  "rbg" is the TPU-native
+    # hardware generator: measured 135 -> ~100 ms/step on the bench config
+    # (threefry spends ~26% of the step generating dropout masks).  Set
+    # "threefry2x32" for cross-platform bit-identical dropout streams.
+    rng_impl: str = "rbg"
 
 
 def run_training(
@@ -105,7 +110,9 @@ def run_training(
             model, model_cfg, loss_cfg, teacher_apply=teacher_apply
         )
     step_fn = jax.jit(step_fn)
-    rng = jax.random.PRNGKey(run_cfg.seed)
+    # typed key: carries its impl (rbg = TPU-native generator) through
+    # fold_in/split inside the jitted step
+    rng = jax.random.key(run_cfg.seed, impl=run_cfg.rng_impl)
 
     with jax.set_mesh(mesh):
         state = replicate(state, mesh)
