@@ -159,7 +159,19 @@ def _partial_gip_scores(qv, qi, values_T, indices_T, lex_dim, n_dims):
 
 
 def _partial_ip_scores(qv, values_T):
-    """(B, D) x (D, N) -> (B, N): one MXU matmul (IP approximation mode)."""
+    """(B, D) x (D, N) -> (B, N): one MXU matmul (IP approximation mode).
+
+    bf16 operands by default (the MXU-native width); f32 planes
+    (``--value-dtype f32``, the exact-parity escape hatch) keep the matmul
+    in f32 so scores match a float64 oracle to f32 rounding.
+    """
+    if values_T.dtype == jnp.float32:
+        # precision="highest": DEFAULT lowers even f32 operands to
+        # bf16-class passes (measured 3.6e-4 rel error vs 1.6e-7)
+        return jnp.dot(
+            qv.astype(jnp.float32), values_T, precision="highest",
+            preferred_element_type=jnp.float32,
+        )
     return jnp.dot(
         qv.astype(jnp.bfloat16), values_T.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,

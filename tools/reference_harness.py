@@ -80,8 +80,9 @@ def write_tokenizer_files(ckpt_dir: str) -> None:
 
 def build_checkpoint(ckpt_dir: str, seed: int = 0, hidden: int = 128,
                      layers: int = 2, heads: int = 4, ff: int = 256,
-                     proj_dim: int = 128, dlr_out_dim: int = 768):
-    """Random-init dhr_tpu DHR model exported to the reference's HF layout."""
+                     proj_dim: int = 128, dlr_out_dim: int = 768,
+                     model_type: str = "dhr", agg_dim: int = 640):
+    """Random-init dhr_tpu model exported to the reference's HF layout."""
     import jax
 
     # the sitecustomize resets jax_platforms to "axon,cpu"; this harness must
@@ -94,7 +95,7 @@ def build_checkpoint(ckpt_dir: str, seed: int = 0, hidden: int = 128,
     from dhr_tpu.train.checkpoint import export_hf_checkpoint
 
     cfg = RetrieverConfig(
-        model_type="dhr",
+        model_type=model_type,
         encoder=EncoderConfig(
             vocab_size=VOCAB_SIZE, hidden_size=hidden, num_layers=layers,
             num_heads=heads, intermediate_size=ff,
@@ -104,6 +105,7 @@ def build_checkpoint(ckpt_dir: str, seed: int = 0, hidden: int = 128,
         add_pooler=True,
         projection_dim=proj_dim,
         dlr_out_dim=dlr_out_dim,
+        agg_dim=agg_dim,
         combine_cls=True,
     )
     model = BiEncoder(cfg)
@@ -421,6 +423,137 @@ def run_parity(work: str, n_corpus: int = 2000, n_queries: int = 16,
     return report
 
 
+def run_parity_agg(work: str, n_corpus: int = 1000, n_queries: int = 8,
+                   agg_dim: int = 640, topk: int = 100) -> dict:
+    """Executed-reference parity for the Aggretriever family.
+
+    The reference encodes AGG reps with tevatron.driver.encode --model agg
+    (aggregate full + sign competition + [CLS] merge -> one f16 vector,
+    Aggretriever/modeling.py:137-150); its search side is faiss FlatIP
+    (unavailable here), so ranking parity is checked by exact IP top-k on
+    BOTH engines' arrays (numpy float64 oracle) + our `search --IP`.
+    """
+    os.makedirs(work, exist_ok=True)
+    ckpt = os.path.join(work, "ckpt_agg")
+    os.makedirs(ckpt, exist_ok=True)
+    build_checkpoint(ckpt, model_type="agg", agg_dim=agg_dim)
+    corpus_jsonl = os.path.join(work, "corpus.jsonl")
+    query_jsonl = os.path.join(work, "queries.jsonl")
+    write_corpus(corpus_jsonl, n_corpus, seed=5, prefix="d")
+    write_corpus(query_jsonl, n_queries, seed=6, min_len=4, max_len=12,
+                 prefix="q")
+
+    ref_corpus_pkl = os.path.join(work, "ref_agg_corpus.pt")
+    ref_query_pkl = os.path.join(work, "ref_agg_query.pt")
+    for jsonl, pkl, is_q in ((corpus_jsonl, ref_corpus_pkl, False),
+                             (query_jsonl, ref_query_pkl, True)):
+        cmd = [
+            sys.executable, "-m", "tevatron.driver.encode",
+            "--output_dir", os.path.join(work, "hf_out"),
+            "--model_name_or_path", ckpt,
+            "--model", "agg",
+            "--agg_dim", str(agg_dim),
+            "--per_device_eval_batch_size", "16",
+            "--encode_in_path", jsonl,
+            "--encoded_save_path", pkl,
+            "--dataset_proc_num", "1",
+            "--dataloader_num_workers", "0",
+        ] + (["--encode_is_qry"] if is_q else [])
+        _run(cmd, _ref_env(work))
+
+    our_corpus = os.path.join(work, "our_agg_corpus.npz")
+    our_query = os.path.join(work, "our_agg_query")
+    for jsonl, out, is_q in ((corpus_jsonl, our_corpus, False),
+                             (query_jsonl, our_query, True)):
+        cmd = [
+            sys.executable, "-m", "dhr_tpu", "encode",
+            "--model", "agg",
+            "--model-name-or-path", ckpt,
+            "--add-pooler", "--projection-dim", "128",
+            "--agg-dim", str(agg_dim),
+            "--input", jsonl,
+            "--output", out,
+            "--batch-size", "16",
+        ] + (["--encode-is-qry"] if is_q else [])
+        _run(cmd, _our_env())
+
+    ref_cv, _, ref_cids = load_pickle(ref_corpus_pkl)
+    ref_qv, _, ref_qids = load_pickle(ref_query_pkl)
+    with np.load(our_corpus) as z:
+        our_cv = z["values"]
+    with np.load(our_query + ".npz") as z:
+        our_qv = z["values"]
+    assert [str(i) for i in ref_cids] == [f"d{i}" for i in range(n_corpus)]
+    vdiff = np.abs(ref_cv.astype(np.float32) - our_cv.astype(np.float32))
+    report = {
+        "config": {"n_corpus": n_corpus, "agg_dim": agg_dim, "topk": topk},
+        "encode_corpus": {
+            "rows": int(ref_cv.shape[0]),
+            "value_dim": int(ref_cv.shape[1]),
+            "max_abs_value_diff": float(vdiff.max()),
+            "mean_abs_value_diff": float(vdiff.mean()),
+        },
+        "encode_query": {
+            "max_abs_value_diff": float(np.abs(
+                ref_qv.astype(np.float32) - our_qv.astype(np.float32)).max()),
+        },
+    }
+
+    def ip_top(qv, cv):
+        scores = qv.astype(np.float64) @ cv.astype(np.float64).T
+        return np.argsort(-scores, axis=-1, kind="stable")[:, :topk]
+
+    # (a) ENGINE parity on the SAME arrays: our `search --IP` over the
+    # reference's corpus pickle vs a float64 numpy oracle — must be exact
+    # (this is the faiss-FlatIP role; reference search side is faiss, which
+    # is unavailable here).
+    our_index = os.path.join(work, "our_agg_index.npz")
+    _run([sys.executable, "-m", "dhr_tpu", "index",
+          "--inputs", ref_corpus_pkl, "--output", our_index,
+          "--lex-dim", str(ref_cv.shape[1])], _our_env())
+    trec = os.path.join(work, "our_agg_ip.trec")
+    _run([sys.executable, "-m", "dhr_tpu", "search",
+          "--index-path", our_index, "--query-path", ref_query_pkl,
+          "--output", trec, "--IP", "--topk", str(topk),
+          "--query-batch", "8", "--value-dtype", "f32"], _our_env())
+    got = read_trec(trec)
+    oracle_scores = ref_qv.astype(np.float64) @ ref_cv.astype(np.float64).T
+    oracle = ip_top(ref_qv, ref_cv)
+    rows_match, rows_tie = 0, 0
+    # engine computes in f32 ("highest"); disagreements whose f64 score gap
+    # sits below f32 resolution at the score magnitude are float ties, not
+    # ranking divergence
+    for i, q in enumerate(ref_qids):
+        g = [d for d, _ in got[str(q)]]
+        w = [f"d{j}" for j in oracle[i]]
+        if g == w:
+            rows_match += 1
+            continue
+        gaps = [
+            abs(oracle_scores[i, int(a[1:])] - oracle_scores[i, int(b[1:])])
+            for a, b in zip(g, w) if a != b
+        ]
+        tol = np.abs(oracle_scores[i]).max() * 1.2e-7 * 4
+        if max(gaps) <= tol:
+            rows_tie += 1
+    report["engine_ip_rows_match"] = int(rows_match)
+    report["engine_ip_rows_float_tie"] = int(rows_tie)
+    report["engine_ip_rows_total"] = int(len(ref_qids))
+
+    # (b) encode-drift impact across arrays: top-k SET overlap (random-init
+    # reps have tiny score gaps, so position-exact agreement across two
+    # f16 encodes is not meaningful — the engine check above is the exact
+    # one; this one bounds how much the f16-ulp value noise moves the set)
+    ref_rank = ip_top(ref_qv, ref_cv)
+    our_rank = ip_top(our_qv, our_cv)
+    overlap = np.mean([
+        len(set(ref_rank[i]) & set(our_rank[i])) / topk
+        for i in range(ref_rank.shape[0])
+    ])
+    report["cross_array_topk_overlap"] = float(overlap)
+    return report
+
+
 def run_reference_timing(work: str, n_rows: int = 100_000, n_queries: int = 16,
                          dlr: int = 768, cls_dim: int = 128,
                          theta: float = 0.3, topk: int = 1000,
@@ -479,6 +612,7 @@ def main():
     work = args.workdir or tempfile.mkdtemp(prefix="dhr_parity_")
     print(f"workdir: {work}", file=sys.stderr)
     report = run_parity(work, n_corpus=args.n_corpus, n_queries=args.n_queries)
+    report["agg"] = run_parity_agg(os.path.join(work, "agg"))
     if not args.skip_timing:
         report["reference_timing"] = run_reference_timing(
             os.path.join(work, "timing"), n_rows=args.timing_rows)
