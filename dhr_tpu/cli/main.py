@@ -174,6 +174,13 @@ def _load_init_params(args, model_cfg):
         ["encoder_p"] if model_cfg.untie_encoder else []
     ):
         if "encoder" in params[side]["backbone"]:
+            if backbone.get("mlm") is None:
+                raise SystemExit(
+                    f"--model {model_cfg.model_type} needs an MLM-headed "
+                    f"checkpoint, but {args.model_name_or_path} is "
+                    "encoder-only (exported from a dense/skip-MLM/colbert "
+                    "run); pass a MaskedLM checkpoint"
+                )
             params[side]["backbone"] = backbone
         else:  # TransformerEncoder only (no MLM head in this family)
             params[side]["backbone"] = backbone["encoder"]
@@ -273,26 +280,27 @@ def cmd_train(args):
         teacher_apply=teacher_apply,
     )
     # HF-layout export (the reference's save format: save_pretrained +
-    # pooler/TermWeightTrans sidecars) so reference tooling can read it
-    if model_cfg.needs_mlm:
-        import jax as _jax
+    # pooler/TermWeightTrans sidecars) so reference tooling can read it;
+    # non-MLM families (dense / skip-MLM agg / colbert) export encoder-only
+    # checkpoints, which the reference loads via AutoModel
+    import jax as _jax
 
-        from dhr_tpu.train.checkpoint import export_hf_checkpoint
+    from dhr_tpu.train.checkpoint import export_hf_checkpoint
 
-        hf_config = None
-        if args.model_name_or_path:
-            import os
+    hf_config = None
+    if args.model_name_or_path:
+        import os
 
-            cfg_path = os.path.join(args.model_name_or_path, "config.json")
-            if os.path.exists(cfg_path):
-                with open(cfg_path) as f:
-                    hf_config = json.load(f)
-        export_hf_checkpoint(
-            f"{args.output_dir}/export",
-            _jax.device_get(state.params),
-            model_cfg,
-            hf_config=hf_config,
-        )
+        cfg_path = os.path.join(args.model_name_or_path, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                hf_config = json.load(f)
+    export_hf_checkpoint(
+        f"{args.output_dir}/export",
+        _jax.device_get(state.params),
+        model_cfg,
+        hf_config=hf_config,
+    )
     logger.info("training done; checkpoints in %s", args.output_dir)
 
 

@@ -156,15 +156,18 @@ def convert_hf_mlm_to_params(
                 "ffn_out": _dense(sd, f"{p}.ffn.lin2"),
                 "ffn_layer_norm": _ln(sd, f"{p}.output_layer_norm"),
             }
-        mlm = {
-            "transform": _dense(sd, "vocab_transform"),
-            "layer_norm": _ln(sd, "vocab_layer_norm"),
-            "bias": sd["vocab_projector.bias"],
-        }
-        _check_tied_projector(
-            sd.get("vocab_projector.weight"),
-            sd[f"{emb}.word_embeddings.weight"],
-        )
+        if "vocab_transform.weight" in sd:
+            mlm = {
+                "transform": _dense(sd, "vocab_transform"),
+                "layer_norm": _ln(sd, "vocab_layer_norm"),
+                "bias": sd["vocab_projector.bias"],
+            }
+            _check_tied_projector(
+                sd.get("vocab_projector.weight"),
+                sd[f"{emb}.word_embeddings.weight"],
+            )
+        else:  # encoder-only checkpoint (dense / skip-MLM / colbert export)
+            mlm = None
     else:
         emb = "bert.embeddings"
         embeddings = {
@@ -211,15 +214,18 @@ def convert_hf_mlm_to_params(
                 "ffn_out": _dense(sd, f"{p}.output.dense"),
                 "ffn_layer_norm": _ln(sd, f"{p}.output.LayerNorm"),
             }
-        mlm = {
-            "transform": _dense(sd, "cls.predictions.transform.dense"),
-            "layer_norm": _ln(sd, "cls.predictions.transform.LayerNorm"),
-            "bias": sd["cls.predictions.bias"],
-        }
-        _check_tied_projector(
-            sd.get("cls.predictions.decoder.weight"),
-            sd[f"{emb}.word_embeddings.weight"],
-        )
+        if "cls.predictions.transform.dense.weight" in sd:
+            mlm = {
+                "transform": _dense(sd, "cls.predictions.transform.dense"),
+                "layer_norm": _ln(sd, "cls.predictions.transform.LayerNorm"),
+                "bias": sd["cls.predictions.bias"],
+            }
+            _check_tied_projector(
+                sd.get("cls.predictions.decoder.weight"),
+                sd[f"{emb}.word_embeddings.weight"],
+            )
+        else:  # encoder-only checkpoint (dense / skip-MLM / colbert export)
+            mlm = None
     params = {
         "encoder": {"embeddings": embeddings, **layers},
         "mlm": mlm,
@@ -230,7 +236,12 @@ def convert_hf_mlm_to_params(
 def convert_params_to_hf_mlm(
     params: dict, cfg: EncoderConfig, arch: str = "distilbert"
 ) -> dict[str, np.ndarray]:
-    """EncoderWithMLM param tree -> HF MaskedLM state dict (numpy)."""
+    """EncoderWithMLM param tree -> HF MaskedLM state dict (numpy).
+
+    ``params["mlm"] is None`` exports an encoder-only checkpoint (the
+    reference's Dense / skip-MLM Aggretriever families load ``AutoModel``,
+    Aggretriever/modeling.py:503-508) — the MLM head keys are omitted.
+    """
     enc = params["encoder"]
     mlm = params["mlm"]
     nh = cfg.num_heads
@@ -273,10 +284,11 @@ def convert_params_to_hf_mlm(
             put_dense(f"{p}.ffn.lin1", L["ffn_in"])
             put_dense(f"{p}.ffn.lin2", L["ffn_out"])
             put_ln(f"{p}.output_layer_norm", L["ffn_layer_norm"])
-        put_dense("vocab_transform", mlm["transform"])
-        put_ln("vocab_layer_norm", mlm["layer_norm"])
-        sd["vocab_projector.weight"] = word  # tied
-        sd["vocab_projector.bias"] = np.asarray(mlm["bias"])
+        if mlm is not None:
+            put_dense("vocab_transform", mlm["transform"])
+            put_ln("vocab_layer_norm", mlm["layer_norm"])
+            sd["vocab_projector.weight"] = word  # tied
+            sd["vocab_projector.bias"] = np.asarray(mlm["bias"])
     else:
         sd["bert.embeddings.word_embeddings.weight"] = word
         sd["bert.embeddings.position_embeddings.weight"] = np.asarray(
@@ -298,10 +310,11 @@ def convert_params_to_hf_mlm(
             put_dense(f"{p}.intermediate.dense", L["ffn_in"])
             put_dense(f"{p}.output.dense", L["ffn_out"])
             put_ln(f"{p}.output.LayerNorm", L["ffn_layer_norm"])
-        put_dense("cls.predictions.transform.dense", mlm["transform"])
-        put_ln("cls.predictions.transform.LayerNorm", mlm["layer_norm"])
-        sd["cls.predictions.decoder.weight"] = word
-        sd["cls.predictions.bias"] = np.asarray(mlm["bias"])
+        if mlm is not None:
+            put_dense("cls.predictions.transform.dense", mlm["transform"])
+            put_ln("cls.predictions.transform.LayerNorm", mlm["layer_norm"])
+            sd["cls.predictions.decoder.weight"] = word
+            sd["cls.predictions.bias"] = np.asarray(mlm["bias"])
     return sd
 
 
@@ -391,6 +404,8 @@ def _check_tied_projector(projector, word_embeddings) -> None:
 
 
 def _to_f32(tree):
+    if tree is None:  # e.g. mlm=None on encoder-only checkpoints
+        return None
     if isinstance(tree, dict):
         return {k: _to_f32(v) for k, v in tree.items()}
     return jnp.asarray(np.asarray(tree), jnp.float32)

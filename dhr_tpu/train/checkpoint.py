@@ -179,9 +179,9 @@ def export_hf_checkpoint(
         os.makedirs(d, exist_ok=True)
         backbone = tree["backbone"]
         if "encoder" not in backbone:  # TransformerEncoder without MLM head
+            # encoder-only export: the reference's Dense / skip-MLM AGG /
+            # ColBERT families load AutoModel from such checkpoints
             backbone = {"encoder": backbone, "mlm": None}
-        if backbone["mlm"] is None:
-            raise ValueError("export requires an MLM-headed encoder")
         sd = convert_params_to_hf_mlm(backbone, retriever_cfg.encoder, arch)
         import torch
 

@@ -143,3 +143,55 @@ def test_sidecar_tied_loads_in_torch_strict(tmp_path, rng):
     side = load_sidecar_head(str(tmp_path), "pooler")
     assert side["p"] is None and side["config"]["tied"] is True
     np.testing.assert_allclose(side["q"]["kernel"], kernel, atol=1e-7)
+
+
+def test_encoder_only_export_loads_in_torch_automodel(tmp_path, rng):
+    """Dense/skip-MLM/ColBERT families export encoder-only checkpoints the
+    reference loads via AutoModel (Aggretriever/modeling.py:503-508):
+    torch DistilBertModel hidden states must match our encoder's."""
+    from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
+    from dhr_tpu.models.transformer import TransformerEncoder
+    from dhr_tpu.train.checkpoint import export_hf_checkpoint
+
+    cfg = RetrieverConfig(
+        model_type="dense",
+        encoder=EncoderConfig(
+            vocab_size=99, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=48,
+            type_vocab_size=0, dtype=jnp.float32,
+            hidden_dropout=0.0, attention_dropout=0.0,
+        ),
+        add_pooler=True, projection_dim=8,
+    )
+    model = BiEncoder(cfg)
+    batch = {"input_ids": jnp.asarray(rng.integers(1, 99, (2, 10)), jnp.int32),
+             "attention_mask": jnp.ones((2, 10), jnp.int32)}
+    params = jax.device_get(model.init(
+        jax.random.PRNGKey(0), query=batch, passage=batch)["params"])
+    out = str(tmp_path / "export")
+    export_hf_checkpoint(out, params, cfg)
+
+    t_model = transformers.AutoModel.from_pretrained(out)
+    t_model.eval()
+    with torch.no_grad():
+        t_hidden = t_model(
+            input_ids=torch.from_numpy(np.asarray(batch["input_ids"], np.int64)),
+            attention_mask=torch.from_numpy(
+                np.asarray(batch["attention_mask"], np.int64)),
+        ).last_hidden_state.numpy()
+
+    enc = TransformerEncoder(cfg.encoder)
+    j_hidden = enc.apply({"params": params["encoder_q"]["backbone"]},
+                         batch["input_ids"], batch["attention_mask"])
+    np.testing.assert_allclose(np.asarray(j_hidden), t_hidden, atol=2e-4)
+
+    # round trip: the exported encoder-only checkpoint loads back into our
+    # param tree (mlm=None) bit-exactly
+    sd = load_hf_state_dict(out)
+    back = convert_hf_mlm_to_params(sd, cfg.encoder)
+    assert back["mlm"] is None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-6),
+        back["encoder"], params["encoder_q"]["backbone"],
+    )
