@@ -424,19 +424,22 @@ def run_parity(work: str, n_corpus: int = 2000, n_queries: int = 16,
 
 
 def run_parity_agg(work: str, n_corpus: int = 1000, n_queries: int = 8,
-                   agg_dim: int = 640, topk: int = 100) -> dict:
-    """Executed-reference parity for the Aggretriever family.
+                   agg_dim: int = 640, topk: int = 100,
+                   model_type: str = "agg") -> dict:
+    """Executed-reference parity for the dense-output families (agg/dense).
 
-    The reference encodes AGG reps with tevatron.driver.encode --model agg
-    (aggregate full + sign competition + [CLS] merge -> one f16 vector,
-    Aggretriever/modeling.py:137-150); its search side is faiss FlatIP
+    The reference encodes these with tevatron.driver.encode --model agg
+    (aggregate full + sign competition + [CLS] merge,
+    Aggretriever/modeling.py:137-150) / --model dense (CLS + pooler
+    sidecar, Dense/modeling.py); its search side is faiss FlatIP
     (unavailable here), so ranking parity is checked by exact IP top-k on
     BOTH engines' arrays (numpy float64 oracle) + our `search --IP`.
+    The dense checkpoint is encoder-only (loaded via AutoModel).
     """
     os.makedirs(work, exist_ok=True)
-    ckpt = os.path.join(work, "ckpt_agg")
+    ckpt = os.path.join(work, f"ckpt_{model_type}")
     os.makedirs(ckpt, exist_ok=True)
-    build_checkpoint(ckpt, model_type="agg", agg_dim=agg_dim)
+    build_checkpoint(ckpt, model_type=model_type, agg_dim=agg_dim)
     corpus_jsonl = os.path.join(work, "corpus.jsonl")
     query_jsonl = os.path.join(work, "queries.jsonl")
     write_corpus(corpus_jsonl, n_corpus, seed=5, prefix="d")
@@ -451,7 +454,7 @@ def run_parity_agg(work: str, n_corpus: int = 1000, n_queries: int = 8,
             sys.executable, "-m", "tevatron.driver.encode",
             "--output_dir", os.path.join(work, "hf_out"),
             "--model_name_or_path", ckpt,
-            "--model", "agg",
+            "--model", model_type,
             "--agg_dim", str(agg_dim),
             "--per_device_eval_batch_size", "16",
             "--encode_in_path", jsonl,
@@ -467,7 +470,7 @@ def run_parity_agg(work: str, n_corpus: int = 1000, n_queries: int = 8,
                              (query_jsonl, our_query, True)):
         cmd = [
             sys.executable, "-m", "dhr_tpu", "encode",
-            "--model", "agg",
+            "--model", model_type,
             "--model-name-or-path", ckpt,
             "--add-pooler", "--projection-dim", "128",
             "--agg-dim", str(agg_dim),
@@ -486,7 +489,8 @@ def run_parity_agg(work: str, n_corpus: int = 1000, n_queries: int = 8,
     assert [str(i) for i in ref_cids] == [f"d{i}" for i in range(n_corpus)]
     vdiff = np.abs(ref_cv.astype(np.float32) - our_cv.astype(np.float32))
     report = {
-        "config": {"n_corpus": n_corpus, "agg_dim": agg_dim, "topk": topk},
+        "config": {"model": model_type, "n_corpus": n_corpus,
+                   "agg_dim": agg_dim, "topk": topk},
         "encode_corpus": {
             "rows": int(ref_cv.shape[0]),
             "value_dim": int(ref_cv.shape[1]),
@@ -613,6 +617,8 @@ def main():
     print(f"workdir: {work}", file=sys.stderr)
     report = run_parity(work, n_corpus=args.n_corpus, n_queries=args.n_queries)
     report["agg"] = run_parity_agg(os.path.join(work, "agg"))
+    report["dense"] = run_parity_agg(os.path.join(work, "dense"),
+                                     model_type="dense")
     if not args.skip_timing:
         report["reference_timing"] = run_reference_timing(
             os.path.join(work, "timing"), n_rows=args.timing_rows)
