@@ -521,6 +521,23 @@ def cmd_serve(args):
 
     import jax
 
+    query_encoder = None
+    if args.query_encoder:
+        # resident text->vector encoder for the /search_text endpoint
+        from dhr_tpu.encode import EncodeConfig, Encoder, make_query_encoder
+
+        model_cfg = _model_cfg_checked(args)
+        model, params = _load_init_params(args, model_cfg)
+        enc = Encoder(
+            model, params, model_cfg,
+            EncodeConfig(batch_size=args.query_batch,
+                         remove_dims=args.remove_dims),
+        )
+        tok = _load_tokenizer(args.tokenizer or args.model_name_or_path)
+        query_encoder = make_query_encoder(
+            enc, tok, args.q_max_len, args.cls_token_id, args.sep_token_id
+        )
+
     packed = PackedIndex.load(args.index_path)
     mesh = None
     if args.shard_over_devices and len(jax.devices()) > 1:
@@ -552,7 +569,8 @@ def cmd_serve(args):
                         query_batch=args.low_latency_batch),
         )
     serve(searcher, host=args.host, port=args.port,
-          micro_batch_ms=args.micro_batch_ms, small_searcher=small)
+          micro_batch_ms=args.micro_batch_ms, small_searcher=small,
+          query_encoder=query_encoder)
 
 
 def cmd_merge_runs(args):
@@ -937,7 +955,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(_subparser=p, fn=cmd_search)
 
     p = sub.add_parser("serve")
+    _add_model_args(p)
     p.add_argument("--index-path", required=True)
+    p.add_argument("--query-encoder", action="store_true",
+                   help="load the model and serve POST /search_text "
+                        "(raw query strings -> rankings); needs "
+                        "--model-name-or-path (+ --tokenizer if separate)")
+    p.add_argument("--tokenizer", default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--topk", type=int, default=1000)
@@ -976,7 +1000,6 @@ def build_parser() -> argparse.ArgumentParser:
                         "small-batch search program over the same index; "
                         "pools that fit it skip the full padded batch "
                         "(lone queries get low latency)")
-    p.add_argument("--config", default=None)
     p.set_defaults(_subparser=p, fn=cmd_serve)
 
     p = sub.add_parser("merge-runs")

@@ -277,3 +277,29 @@ def bucketed_encode_batches(
             )
 
     return gen(), order
+
+
+def make_query_encoder(encoder: Encoder, tokenizer, q_max_len: int,
+                       cls_id: int | None, sep_id: int | None):
+    """Raw query strings -> (values, indices_or_None) for the serve daemon.
+
+    One padded batch per call (serving pools are small); the Encoder's
+    compiled query program is reused across calls.
+    """
+    from dhr_tpu.data.collate import collate_encode, wrap_specials
+
+    def encode(queries: list[str]):
+        toks = [
+            tokenizer.encode(q, add_special_tokens=False,
+                             max_length=q_max_len, truncation=True)
+            for q in queries
+        ]
+        batch = collate_encode(
+            [str(i) for i in range(len(toks))],
+            [wrap_specials(t, q_max_len, cls_id, sep_id) for t in toks],
+            q_max_len,
+        )
+        values, indices, _ = encoder.encode_queries([batch])
+        return values, indices
+
+    return encode

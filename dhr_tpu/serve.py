@@ -4,11 +4,16 @@ The reference serves retrieval as a batch script over pickle files
 (gip_retrieval.py); for production deployment dhr_tpu keeps the sharded
 index resident and answers queries from a small stdlib HTTP server:
 
-- ``POST /search``   {"values": [[...]], "indices": [[...]] | null,
-                      "qids": [...] (optional)}  ->
-                     {"results": {qid: [docid...]}, "scores": {...}}
-- ``GET /healthz``   {"status": "ok", "rows": N}
-- ``GET /stats``     index diagnostics (retrieval/stats.py)
+- ``POST /search``       {"values": [[...]], "indices": [[...]] | null,
+                          "qids": [...] (optional)}  ->
+                         {"results": {qid: [docid...]}, "scores": {...}}
+- ``POST /search_text``  {"queries": ["raw text", ...], "qids": [...]}
+                         (needs a query encoder, ``serve
+                         --query-encoder``): tokenize + encode + search in
+                         one round trip — end-to-end text serving the
+                         reference's script pipeline cannot do
+- ``GET /healthz``       {"status": "ok", "rows": N}
+- ``GET /stats``         index diagnostics (retrieval/stats.py)
 
 Two execution modes:
 
@@ -134,16 +139,27 @@ class MicroBatcher:
 
 
 class SearchService:
-    """Wraps a Searcher with a JSON request/response surface."""
+    """Wraps a Searcher with a JSON request/response surface.
+
+    ``query_encoder``: optional callable ``(list[str]) -> (values,
+    indices_or_None)`` enabling the ``/search_text`` endpoint (raw query
+    strings in, rankings out).
+    """
 
     def __init__(self, searcher, micro_batch_ms: float = 0.0,
-                 small_searcher=None):
+                 small_searcher=None, query_encoder=None):
         self.searcher = searcher
+        self.query_encoder = query_encoder
         self.batcher = (
             MicroBatcher(searcher, micro_batch_ms,
                          small_searcher=small_searcher)
             if micro_batch_ms > 0 else None
         )
+
+    def _run(self, qids, values, indices):
+        if self.batcher is not None:
+            return self.batcher.search(qids, values, indices)
+        return self.searcher.search_run(qids, values, indices)
 
     def search(self, payload: dict) -> dict:
         values = np.asarray(payload["values"], np.float32)
@@ -151,10 +167,18 @@ class SearchService:
         if indices is not None:
             indices = np.asarray(indices, np.int32)
         qids = payload.get("qids") or [str(i) for i in range(len(values))]
-        if self.batcher is not None:
-            results, scores = self.batcher.search(qids, values, indices)
-        else:
-            results, scores = self.searcher.search_run(qids, values, indices)
+        results, scores = self._run(qids, values, indices)
+        return {"results": results, "scores": scores}
+
+    def search_text(self, payload: dict) -> dict:
+        if self.query_encoder is None:
+            raise ValueError(
+                "text search needs a query encoder (serve --query-encoder)"
+            )
+        queries = payload["queries"]
+        qids = payload.get("qids") or [str(i) for i in range(len(queries))]
+        values, indices = self.query_encoder(list(queries))
+        results, scores = self._run(qids, values, indices)
         return {"results": results, "scores": scores}
 
     def stats(self) -> dict:
@@ -202,13 +226,15 @@ def make_handler(service: SearchService):
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/search":
+            fn = {"/search": service.search,
+                  "/search_text": service.search_text}.get(self.path)
+            if fn is None:
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length))
-                self._reply(200, service.search(payload))
+                self._reply(200, fn(payload))
             except Exception as e:  # noqa: BLE001 - report to the client
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -216,16 +242,19 @@ def make_handler(service: SearchService):
 
 
 def serve(searcher, host: str = "127.0.0.1", port: int = 8080,
-          micro_batch_ms: float = 0.0, small_searcher=None):
+          micro_batch_ms: float = 0.0, small_searcher=None,
+          query_encoder=None):
     """Blocking serve loop.
 
     ``micro_batch_ms > 0`` switches to the threaded server + device-worker
     coalescing (see :class:`MicroBatcher`): concurrent single-query requests
     share one padded program dispatch.  ``small_searcher`` adds the
-    low-latency small-batch route for pools that fit it.
+    low-latency small-batch route for pools that fit it.  ``query_encoder``
+    enables ``/search_text``.
     """
     service = SearchService(searcher, micro_batch_ms=micro_batch_ms,
-                            small_searcher=small_searcher)
+                            small_searcher=small_searcher,
+                            query_encoder=query_encoder)
     server_cls = ThreadingHTTPServer if micro_batch_ms > 0 else HTTPServer
     server = server_cls((host, port), make_handler(service))
     logger.info("serving %d rows on %s:%d (micro_batch_ms=%s)",

@@ -200,3 +200,79 @@ def test_micro_batcher_low_latency_route(rng):
         packed.indices[:8].astype(np.int32))
     assert all(r8[f"q{i}"][0] == f"d{i}" for i in range(8))
     assert batcher.small_batches_run == 1  # unchanged
+
+
+def test_search_text_endpoint(rng):
+    """/search_text: raw strings -> tokenizer -> resident encoder -> search.
+
+    Corpus is the encoder's own output for the same strings, so the
+    self-match must rank first."""
+    import jax
+    import jax.numpy as jnp
+    from http.server import ThreadingHTTPServer
+
+    from dhr_tpu.data.collate import collate_encode, wrap_specials
+    from dhr_tpu.encode import EncodeConfig, Encoder, make_query_encoder
+    from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
+    from dhr_tpu.models.transformer import EncoderConfig
+
+    VOCAB = 70
+
+    class FakeTokenizer:
+        def encode(self, text, add_special_tokens=False, max_length=None,
+                   truncation=True):
+            ids = [(hash(w) % (VOCAB - 2)) + 2 for w in text.split()]
+            return ids[: max_length or 16] or [2]
+
+    cfg = RetrieverConfig(
+        model_type="dhr", encoder=EncoderConfig.tiny(vocab_size=VOCAB),
+        add_pooler=True, projection_dim=4, dlr_out_dim=8,
+    )
+    model = BiEncoder(cfg)
+    probe = {"input_ids": jnp.ones((2, 6), jnp.int32),
+             "attention_mask": jnp.ones((2, 6), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), query=probe,
+                        passage=probe)["params"]
+    enc = Encoder(model, params, cfg, EncodeConfig(batch_size=4,
+                                                   remove_dims=6))
+    tok = FakeTokenizer()
+    texts = [f"doc number {i} about topic {i % 5}" for i in range(12)]
+    batches = [collate_encode(
+        [f"d{i}" for i in range(12)],
+        [wrap_specials(tok.encode(t, max_length=8), 10, 1, 0) for t in texts],
+        10,
+    )]
+    packed = enc.encode_corpus(iter(batches))
+    searcher = Searcher(DeviceIndex.from_packed(packed),
+                        SearchConfig(topk=3, mode="gip", query_batch=4))
+    qenc = make_query_encoder(enc, tok, q_max_len=10, cls_id=1, sep_id=0)
+    # ground truth: encode the same strings to vectors, search directly
+    want_qv, want_qi = qenc([texts[3], texts[7]])
+    want, _ = searcher.search_run(["a", "b"], want_qv, want_qi)
+    service = SearchService(searcher, micro_batch_ms=50.0,
+                            query_encoder=qenc)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        payload = json.dumps({"queries": [texts[3], texts[7]],
+                              "qids": ["a", "b"]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search_text", data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["results"]["a"] == list(want["a"])
+        assert out["results"]["b"] == list(want["b"])
+        # text search without an encoder -> 400
+        plain = SearchService(searcher)
+        try:
+            plain.search_text({"queries": ["x"]})
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
