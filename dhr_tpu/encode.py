@@ -283,10 +283,13 @@ def make_query_encoder(encoder: Encoder, tokenizer, q_max_len: int,
                        cls_id: int | None, sep_id: int | None):
     """Raw query strings -> (values, indices_or_None) for the serve daemon.
 
-    One padded batch per call (serving pools are small); the Encoder's
-    compiled query program is reused across calls.
+    Queries are chunked to the Encoder's batch size so every call reuses
+    the ONE compiled query program — an oversize request must never force
+    a fresh XLA compile mid-serve (minutes through a remote-compile link).
     """
     from dhr_tpu.data.collate import collate_encode, wrap_specials
+
+    bs = encoder.encode_cfg.batch_size
 
     def encode(queries: list[str]):
         toks = [
@@ -294,12 +297,17 @@ def make_query_encoder(encoder: Encoder, tokenizer, q_max_len: int,
                              max_length=q_max_len, truncation=True)
             for q in queries
         ]
-        batch = collate_encode(
-            [str(i) for i in range(len(toks))],
-            [wrap_specials(t, q_max_len, cls_id, sep_id) for t in toks],
-            q_max_len,
-        )
-        values, indices, _ = encoder.encode_queries([batch])
+        wrapped = [wrap_specials(t, q_max_len, cls_id, sep_id) for t in toks]
+
+        def batches():
+            for start in range(0, len(wrapped), bs):
+                chunk = wrapped[start: start + bs]
+                yield collate_encode(
+                    [str(start + j) for j in range(len(chunk))],
+                    chunk, q_max_len,
+                )
+
+        values, indices, _ = encoder.encode_queries(batches())
         return values, indices
 
     return encode

@@ -41,6 +41,25 @@ import numpy as np
 logger = logging.getLogger("dhr_tpu.serve")
 
 
+def _validate_queries(qids, values, indices):
+    """Convert + shape-check one request; returns (qids, values, indices)."""
+    qids = list(qids)
+    values = np.asarray(values, np.float32)
+    if values.ndim != 2 or len(qids) != values.shape[0]:
+        raise ValueError(
+            f"{len(qids)} qids for values of shape {values.shape}; "
+            "need one (D,)-row per qid"
+        )
+    if indices is not None:
+        indices = np.asarray(indices, np.int32)
+        if indices.shape[0] != values.shape[0]:
+            raise ValueError(
+                f"indices rows {indices.shape[0]} != values rows "
+                f"{values.shape[0]}"
+            )
+    return qids, values, indices
+
+
 class MicroBatcher:
     """Coalesces concurrent search requests into one device batch.
 
@@ -70,9 +89,13 @@ class MicroBatcher:
         self._worker.start()
 
     def search(self, qids, values, indices):
+        # validate + convert BEFORE pooling: a malformed request must fail
+        # alone at submit time, never poison a coalesced pool or misalign
+        # another client's rows
+        qids, values, indices = _validate_queries(qids, values, indices)
         done = threading.Event()
         slot: dict = {}
-        self._q.put((list(qids), values, indices, done, slot))
+        self._q.put((qids, values, indices, done, slot))
         done.wait()
         if "error" in slot:
             raise slot["error"]
@@ -94,30 +117,39 @@ class MicroBatcher:
                     break
                 batch.append(item)
                 n += len(item[0])
-            self._run(batch)
+            try:
+                self._run(batch)
+            except BaseException as e:  # noqa: BLE001 - keep the worker alive
+                for _, _, _, done, slot in batch:
+                    if not done.is_set():
+                        slot["error"] = e
+                        done.set()
+
+    def _per_request(self, batch):
+        for qids, values, indices, done, slot in batch:
+            try:
+                r, s = self.searcher.search_run(qids, values, indices)
+                slot["results"], slot["scores"] = r, s
+            except Exception as e:  # noqa: BLE001
+                slot["error"] = e
+            done.set()
 
     def _run(self, batch):
-        # unique internal ids: request i's qid q becomes "i:q"
-        uids, vals, idxs = [], [], []
-        for i, (qids, values, indices, _, _) in enumerate(batch):
-            uids.extend(f"{i}:{q}" for q in qids)
-            vals.append(np.asarray(values, np.float32))
-            idxs.append(None if indices is None else
-                        np.asarray(indices, np.int32))
+        # unique internal ids: request i's qid q becomes "i:q" (inputs were
+        # validated/converted in search(), so shapes line up per request)
+        uids = [f"{i}:{q}" for i, (qids, *_ ) in enumerate(batch)
+                for q in qids]
+        idxs = [b[2] for b in batch]
         try:
-            # mixed dense/lexical requests can't share one program
+            # mixed dense/lexical or mismatched-width requests can't share
+            # one program — run each alone so one request's shape never
+            # fails another's
             mixed = any((x is None) != (idxs[0] is None) for x in idxs)
-            if mixed:
-                # rare: fall back to per-request execution
-                for qids, values, indices, done, slot in batch:
-                    try:
-                        r, s = self.searcher.search_run(qids, values, indices)
-                        slot["results"], slot["scores"] = r, s
-                    except Exception as e:  # noqa: BLE001
-                        slot["error"] = e
-                    done.set()
+            widths = {b[1].shape[1] for b in batch}
+            if mixed or len(widths) > 1:
+                self._per_request(batch)
                 return
-            values = np.concatenate(vals, axis=0)
+            values = np.concatenate([b[1] for b in batch], axis=0)
             indices = None if idxs[0] is None else np.concatenate(idxs, axis=0)
             engine = self.searcher
             if (self.small is not None
@@ -159,6 +191,7 @@ class SearchService:
     def _run(self, qids, values, indices):
         if self.batcher is not None:
             return self.batcher.search(qids, values, indices)
+        qids, values, indices = _validate_queries(qids, values, indices)
         return self.searcher.search_run(qids, values, indices)
 
     def search(self, payload: dict) -> dict:

@@ -65,10 +65,7 @@ class AsyncCheckpointer:
         self._error: BaseException | None = None
 
     def save(self, ckpt_dir: str, state: TrainState) -> None:
-        self.wait()
-        if self._error is not None:
-            err, self._error = self._error, None
-            raise err
+        self.wait()  # raises (and clears) any previous save's error
 
         def run():
             try:

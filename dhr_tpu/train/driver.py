@@ -194,7 +194,13 @@ def run_training(
                 jax.profiler.stop_trace()
             if metrics_f is not None:
                 metrics_f.close()
-        ckptr.wait()
+        try:
+            ckptr.wait()
+        except Exception:  # noqa: BLE001 - the final sync save below is the
+            # authoritative one; a transient failure of the LAST periodic
+            # async save must not cost the end-of-run checkpoint
+            logger.exception("in-flight async checkpoint failed; final "
+                             "synchronous save still runs")
     if run_cfg.ckpt_dir:
         save_train_state(run_cfg.ckpt_dir, state)
     return state

@@ -276,3 +276,95 @@ def test_search_text_endpoint(rng):
     finally:
         server.shutdown()
         t.join(timeout=5)
+
+
+def test_micro_batcher_rejects_malformed_without_poisoning_pool(rng):
+    """A bad request fails alone at submit; the pool and worker survive."""
+    from dhr_tpu.serve import MicroBatcher
+
+    values = (rng.random((16, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (16, 12)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(16)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=12)
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=3, mode="gip", theta=0.0, query_batch=4),
+    )
+    batcher = MicroBatcher(searcher, window_ms=1.0)
+    import pytest as _pytest
+
+    # qid/row mismatch rejected at submit time (would silently misalign
+    # later requests in a pool otherwise)
+    with _pytest.raises(ValueError, match="need one"):
+        batcher.search(["a"], packed.values[:2].astype(np.float32),
+                       packed.indices[:2].astype(np.int32))
+    # indices/values row mismatch
+    with _pytest.raises(ValueError, match="indices rows"):
+        batcher.search(["a", "b"], packed.values[:2].astype(np.float32),
+                       packed.indices[:1].astype(np.int32))
+    # worker is still alive and serves good requests
+    r, _ = batcher.search(["q"], packed.values[:1].astype(np.float32),
+                          packed.indices[:1].astype(np.int32))
+    assert r["q"][0] == "d0"
+
+    # mismatched query widths in one pool: per-request fallback, both OK
+    import threading as _threading
+
+    wide = np.pad(packed.values[:1].astype(np.float32), ((0, 0), (0, 0)))
+    outs = {}
+
+    def go(tag, qv, qi):
+        try:
+            rr, _ = batcher.search([tag], qv, qi)
+            outs[tag] = rr[tag]
+        except Exception as e:  # noqa: BLE001
+            outs[tag] = e
+
+    t1 = _threading.Thread(target=go, args=(
+        "x", packed.values[:1].astype(np.float32),
+        packed.indices[:1].astype(np.int32)))
+    t2 = _threading.Thread(target=go, args=("y", wide, None))
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    assert list(outs["x"])[0] == "d0"  # lexical request fine
+    # dense request against a lexical searcher may succeed (ip-less gip
+    # treats missing indices as all-match) or raise — but it must NOT
+    # poison request x, and the worker must survive:
+    r, _ = batcher.search(["z"], packed.values[1:2].astype(np.float32),
+                          packed.indices[1:2].astype(np.int32))
+    assert r["z"][0] == "d1"
+
+
+def test_make_query_encoder_chunks_oversize_requests(rng):
+    """More queries than the encode batch never changes the compiled shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from dhr_tpu.encode import EncodeConfig, Encoder, make_query_encoder
+    from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
+    from dhr_tpu.models.transformer import EncoderConfig
+
+    class FakeTokenizer:
+        def encode(self, text, add_special_tokens=False, max_length=None,
+                   truncation=True):
+            return [(hash(w) % 60) + 2 for w in text.split()][:max_length] \
+                or [2]
+
+    cfg = RetrieverConfig(
+        model_type="dhr", encoder=EncoderConfig.tiny(vocab_size=70),
+        add_pooler=True, projection_dim=4, dlr_out_dim=8,
+    )
+    model = BiEncoder(cfg)
+    probe = {"input_ids": jnp.ones((2, 6), jnp.int32),
+             "attention_mask": jnp.ones((2, 6), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), query=probe,
+                        passage=probe)["params"]
+    enc = Encoder(model, params, cfg, EncodeConfig(batch_size=4,
+                                                   remove_dims=6))
+    qenc = make_query_encoder(enc, FakeTokenizer(), q_max_len=8,
+                              cls_id=1, sep_id=0)
+    texts = [f"query number {i}" for i in range(11)]  # 11 > bs=4
+    values, indices = qenc(texts)
+    assert values.shape[0] == 11 and indices.shape[0] == 11
+    # chunked result == one-text-at-a-time results
+    v1, _ = qenc([texts[6]])
+    np.testing.assert_allclose(values[6], v1[0], atol=1e-5)
