@@ -299,3 +299,74 @@ def test_encode_length_bucketing_matches_plain(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(vb, np.float32),
                                np.asarray(va, np.float32),
                                atol=2e-3, rtol=2e-2)
+
+
+def test_serve_cli_end_to_end(tmp_path, rng):
+    """`python -m dhr_tpu serve` as a real subprocess: /healthz, vector
+    /search, micro-batch + low-latency flags wired through the verb."""
+    import pickle
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    from dhr_tpu.retrieval import PackedIndex
+
+    values = (rng.random((48, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (48, 12)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(48)], dtype=object)
+    PackedIndex(values, indices, docids, lex_dim=12).save(
+        str(tmp_path / "index.npz"))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(repo, ".jax_cache")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dhr_tpu", "serve",
+         "--index-path", str(tmp_path / "index.npz"),
+         "--port", str(port), "--topk", "5", "--brute-force",
+         "--query-batch", "4", "--micro-batch-ms", "2",
+         "--low-latency-batch", "2"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 120
+        health = None
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                ) as r:
+                    health = json.loads(r.read())
+                break
+            except Exception:  # noqa: BLE001 - still starting
+                if proc.poll() is not None:
+                    raise AssertionError("serve process died during startup")
+                time.sleep(1.0)
+        assert health == {"status": "ok", "rows": 48}
+        payload = json.dumps({
+            "values": values[:2].astype(np.float32).tolist(),
+            "indices": indices[:2].astype(int).tolist(),
+            "qids": ["q0", "q1"],
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out = json.loads(r.read())
+        assert out["results"]["q0"][0] == "d0"
+        assert out["results"]["q1"][0] == "d1"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=10
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["low_latency_batch"] == 2
+    finally:
+        proc.kill()
+        proc.wait(timeout=10)
