@@ -370,3 +370,61 @@ def test_serve_cli_end_to_end(tmp_path, rng):
     finally:
         proc.kill()
         proc.wait(timeout=10)
+
+
+def test_beir_cli_multi_dataset_suite(tmp_path, rng, monkeypatch, capsys):
+    """`beir --datasets a,b`: the 13-set-style loop over local zips emits
+    the per-dataset table + averages (reference's README aggregation)."""
+    import zipfile
+
+    import dhr_tpu.cli.main as climain
+
+    VOCAB = 70
+
+    class FakeTokenizer:
+        def encode(self, text, add_special_tokens=False, max_length=None,
+                   truncation=True):
+            ids = [(hash(w) % (VOCAB - 2)) + 2 for w in text.split()]
+            return ids[: max_length or 16] or [2]
+
+    def write_beir(src):
+        os.makedirs(os.path.join(src, "qrels"), exist_ok=True)
+        with open(os.path.join(src, "corpus.jsonl"), "w") as f:
+            for i in range(12):
+                f.write(json.dumps({"_id": f"c{i}", "title": f"t {i}",
+                                    "text": f"body text {i}"}) + "\n")
+        with open(os.path.join(src, "queries.jsonl"), "w") as f:
+            for i in range(3):
+                f.write(json.dumps({"_id": f"q{i}",
+                                    "text": f"body text {i}"}) + "\n")
+        with open(os.path.join(src, "qrels", "test.tsv"), "w") as f:
+            f.write("query-id\tcorpus-id\tscore\n")
+            for i in range(3):
+                f.write(f"q{i}\tc{i}\t1\n")
+
+    dl = tmp_path / "dl"
+    dl.mkdir()
+    for name in ("seta", "setb"):
+        src = tmp_path / "src" / name
+        write_beir(str(src))
+        with zipfile.ZipFile(dl / f"{name}.zip", "w") as z:
+            for root, _, files in os.walk(src):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    z.write(p, os.path.relpath(p, src.parent))
+
+    monkeypatch.setattr(climain, "_load_tokenizer",
+                        lambda path: FakeTokenizer())
+    main(["beir", "--model", "dhr", "--tiny", "--tiny-vocab", str(VOCAB),
+          "--add-pooler", "--projection-dim", "4", "--dlr-out-dim", "8",
+          "--remove-dims", "6", "--cls-token-id", "1", "--sep-token-id", "0",
+          "--q-max-len", "8", "--p-max-len", "12", "--batch-size", "8",
+          "--datasets", "seta,setb", "--download-dir", str(dl),
+          "--topk", "10", "--length-bucketing"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["num_completed"] == 2
+    assert set(out["datasets"]) == {"seta", "setb"}
+    for d in out["datasets"].values():
+        assert 0.0 <= d["NDCG@10"] <= 1.0
+    assert out["avg_NDCG@10"] is not None
+    assert out["avg_R_cap@100"] is not None

@@ -368,3 +368,49 @@ def test_make_query_encoder_chunks_oversize_requests(rng):
     # chunked result == one-text-at-a-time results
     v1, _ = qenc([texts[6]])
     np.testing.assert_allclose(values[6], v1[0], atol=1e-5)
+
+
+def test_micro_batcher_concurrent_stress_matches_direct(rng):
+    """20 concurrent random-size requests through the batcher: every
+    response equals the direct (unbatched) answer for the same vectors."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dhr_tpu.serve import MicroBatcher
+
+    values = (rng.random((64, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (64, 12)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(64)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=12)
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=4, mode="gip", theta=0.0, query_batch=8),
+    )
+    reqs = []
+    for i in range(20):
+        n = int(rng.integers(1, 5))
+        rows = rng.integers(0, 64, n)
+        reqs.append((
+            [f"r{i}:{j}" for j in range(n)],
+            packed.values[rows].astype(np.float32),
+            packed.indices[rows].astype(np.int32),
+            rows,
+        ))
+    want = {}
+    for qids, qv, qi, rows in reqs:
+        r, s = searcher.search_run(qids, qv, qi)
+        want[qids[0]] = {q: list(r[q]) for q in qids}
+
+    batcher = MicroBatcher(searcher, window_ms=10.0)
+
+    def one(req):
+        qids, qv, qi, rows = req
+        r, s = batcher.search(qids, qv, qi)
+        assert set(r) == set(qids)
+        for q in qids:
+            assert len(s[q]) == 4
+        return qids[0], {q: list(r[q]) for q in qids}
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = dict(ex.map(one, reqs))
+    assert got == want
+    assert batcher.batches_run >= 1
