@@ -530,7 +530,15 @@ class Searcher:
         B = qv.shape[0]
         bs = cfg.query_batch
         n_batches = max(1, -(-B // bs))
-        pad = n_batches * bs - B
+        # The prep/run programs are compiled against the FULL uploaded query
+        # array, so pad its batch count to a power of two: repeated calls
+        # with varying query totals then hit a bounded set of compiled
+        # shapes (64, 128, 256, ... rows) instead of one compile per
+        # distinct total.  Padded slots are never dispatched (the loop below
+        # runs the real n_batches); the waste is a <2x upload of the small
+        # query arrays.
+        n_slots = 1 << (n_batches - 1).bit_length()
+        pad = n_slots * bs - B
         if pad:
             qv = np.pad(qv, [(0, pad), (0, 0)])
         if query_indices is None:

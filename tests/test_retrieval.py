@@ -527,3 +527,19 @@ def test_pq_hybrid_mesh_equals_single_device(rng, eight_devices):
     s2, r2 = hybrid.search(qv, qi)
     np.testing.assert_allclose(s1, s2, rtol=1e-3)
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_search_query_count_bucketing(rng):
+    """Varying query totals pad to power-of-two batch slots; results for
+    every real query are unchanged by the padding."""
+    packed = build_corpus(rng, N=200)
+    idx = DeviceIndex.from_packed(packed)
+    s = Searcher(idx, SearchConfig(topk=5, mode="gip", theta=0.0,
+                                   query_batch=4))
+    for B in (1, 4, 5, 9, 13):
+        qv, qi = build_queries(rng, B=B)
+        scores, rows = s.search(qv, qi)
+        assert scores.shape == (B, 5) and rows.shape == (B, 5)
+        full = gip_oracle_scores(qv, qi, packed)
+        _, wi = topk_oracle(full, 5)
+        np.testing.assert_array_equal(rows, wi)
