@@ -304,7 +304,6 @@ def test_encode_length_bucketing_matches_plain(tmp_path, rng):
 def test_serve_cli_end_to_end(tmp_path, rng):
     """`python -m dhr_tpu serve` as a real subprocess: /healthz, vector
     /search, micro-batch + low-latency flags wired through the verb."""
-    import pickle
     import socket
     import subprocess
     import sys
@@ -319,9 +318,14 @@ def test_serve_cli_end_to_end(tmp_path, rng):
     PackedIndex(values, indices, docids, lex_dim=12).save(
         str(tmp_path / "index.npz"))
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    # hold the socket with SO_REUSEADDR so the gap before the subprocess
+    # binds can't be sniped by another process picking the same ephemeral
+    # port (single-tenant box: releasing just before Popen is fine)
+    sock = socket.socket()
+    sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
