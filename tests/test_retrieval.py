@@ -543,3 +543,38 @@ def test_search_query_count_bucketing(rng):
         full = gip_oracle_scores(qv, qi, packed)
         _, wi = topk_oracle(full, 5)
         np.testing.assert_array_equal(rows, wi)
+
+
+@pytest.mark.parametrize("num_hosts", [1, 4, 8])
+def test_hybrid_mesh_degenerate_shapes(rng, eight_devices, num_hosts):
+    """(1, 8), (4, 2) and (8, 1) host splits all reproduce 1-D rankings."""
+    from dhr_tpu.parallel import make_hybrid_mesh
+
+    packed = build_corpus(rng, N=320)
+    qv, qi = build_queries(rng, B=4)
+    cfg = SearchConfig(topk=10, mode="gip", theta=0.3, rerank=True,
+                       agip_topk=64, max_important_dims=16, query_batch=4)
+    single = Searcher(DeviceIndex.from_packed(packed), cfg)
+    mesh = make_hybrid_mesh(eight_devices, num_hosts=num_hosts)
+    hybrid = Searcher(DeviceIndex.from_packed(packed, mesh=mesh), cfg)
+    s1, r1 = single.search(qv, qi)
+    s2, r2 = hybrid.search(qv, qi)
+    np.testing.assert_allclose(s1, s2, rtol=1e-3)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_int8_quantized_index_on_hybrid_mesh(rng, eight_devices):
+    """int8 planes + folded scales shard over the hybrid axes too."""
+    from dhr_tpu.parallel import make_hybrid_mesh
+
+    packed = build_corpus(rng, N=320).quantize()
+    assert packed.value_scales is not None
+    qv, qi = build_queries(rng, B=4)
+    cfg = SearchConfig(topk=10, mode="gip", theta=0.0, query_batch=4)
+    single = Searcher(DeviceIndex.from_packed(packed), cfg)
+    mesh = make_hybrid_mesh(eight_devices, num_hosts=2)
+    hybrid = Searcher(DeviceIndex.from_packed(packed, mesh=mesh), cfg)
+    s1, r1 = single.search(qv, qi)
+    s2, r2 = hybrid.search(qv, qi)
+    np.testing.assert_allclose(s1, s2, rtol=1e-3)
+    np.testing.assert_array_equal(r1, r2)
