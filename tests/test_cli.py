@@ -312,11 +312,22 @@ def test_serve_cli_end_to_end(tmp_path, rng):
 
     from dhr_tpu.retrieval import PackedIndex
 
+    from dhr_tpu.retrieval import DeviceIndex, SearchConfig, Searcher
+
     values = (rng.random((48, 12)) + 0.1).astype(np.float16)
     indices = rng.integers(0, 3, (48, 12)).astype(np.uint8)
     docids = np.asarray([f"d{i}" for i in range(48)], dtype=object)
-    PackedIndex(values, indices, docids, lex_dim=12).save(
-        str(tmp_path / "index.npz"))
+    packed = PackedIndex(values, indices, docids, lex_dim=12)
+    packed.save(str(tmp_path / "index.npz"))
+
+    # pre-warm the persistent compile cache with the subprocess's exact
+    # programs (same config -> same HLO): under full-suite CPU contention a
+    # cold in-subprocess compile can exceed any sane HTTP timeout
+    warm = Searcher(DeviceIndex.from_packed(packed),
+                    SearchConfig(topk=5, mode="gip", theta=0.0,
+                                 query_batch=4))
+    warm.search_run(["w", "w2"], values[:2].astype(np.float32),
+                    indices[:2].astype(np.int32))
 
     # hold the socket with SO_REUSEADDR so the gap before the subprocess
     # binds can't be sniped by another process picking the same ephemeral
@@ -330,7 +341,12 @@ def test_serve_cli_end_to_end(tmp_path, rng):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(repo, ".jax_cache")
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # keep the TPU-relay sitecustomize OUT of the child: its axon client can
+    # hang at import while another process holds the chip (same rule as
+    # __graft_entry__.dryrun_multichip's subprocess)
+    inherited = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                 if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([repo] + inherited)
     proc = subprocess.Popen(
         [sys.executable, "-m", "dhr_tpu", "serve",
          "--index-path", str(tmp_path / "index.npz"),
@@ -340,7 +356,7 @@ def test_serve_cli_end_to_end(tmp_path, rng):
         env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     try:
-        deadline = time.time() + 120
+        deadline = time.time() + 360
         health = None
         while time.time() < deadline:
             try:
@@ -362,7 +378,7 @@ def test_serve_cli_end_to_end(tmp_path, rng):
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/search", data=payload,
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=240) as r:
+        with urllib.request.urlopen(req, timeout=480) as r:
             out = json.loads(r.read())
         assert out["results"]["q0"][0] == "d0"
         assert out["results"]["q1"][0] == "d1"
