@@ -16,7 +16,15 @@ Replaces the reference's per-stage entry points with a single typed surface
 - ``merge-runs``      merge shard runs (retrieval/merge.result.py)
 - ``eval``            qrels + run -> metrics (pyserini trec_eval operating
                       points; retrieval/rcap_eval.py)
-- ``beir``            zero-shot BEIR harness (tevatron/datasets/beir)
+- ``rerank-eval``     candidate-list rerank metrics (driver/eval.py)
+- ``colbert-score``   standalone MaxSim scoring of saved token reps
+                      (the inference path ColBERTForInference lacks offline)
+- ``beir``            zero-shot BEIR harness incl. download + 13-set suite
+                      (tevatron/datasets/beir)
+- ``beir-preprocess`` BEIR dir -> interchange files (beir/preprocess.py)
+- ``serve``           resident HTTP search service (micro-batching,
+                      low-latency route, text-in /search_text) — no
+                      reference equivalent
 
 Every subcommand also accepts ``--config file.json`` whose keys are the long
 option names (CLI flags win).
