@@ -157,3 +157,19 @@ def test_row_axes_recognizes_renamed_outer_axis(eight_devices):
         == ("index",)
     # axis missing from the mesh: fall back to the bare axis
     assert row_axes(mesh, "data") == ("data",)
+
+
+def test_bench_and_entry_modules_import():
+    """bench.py / __graft_entry__.py must at least import cleanly on CPU —
+    a syntax/import break would otherwise surface only in the driver's
+    end-of-round run."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("bench", "__graft_entry__"):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(repo, f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    assert callable(mod.entry) and callable(mod.dryrun_multichip)
