@@ -1,6 +1,7 @@
 """Resident search service over real HTTP on a random port."""
 
 import json
+import os
 import threading
 import urllib.request
 from http.server import HTTPServer
@@ -414,3 +415,56 @@ def test_micro_batcher_concurrent_stress_matches_direct(rng):
         got = dict(ex.map(one, reqs))
     assert got == want
     assert batcher.batches_run >= 1
+
+
+def test_serve_client_tool(rng):
+    """tools/serve_client.py drives a live service: stats, search, text."""
+    import io
+    import importlib.util
+    import contextlib
+    from http.server import ThreadingHTTPServer
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "serve_client", os.path.join(repo, "tools", "serve_client.py"))
+    client = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(client)
+
+    values = (rng.random((16, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (16, 12)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(16)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=12)
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=3, mode="gip", theta=0.0, query_batch=4),
+    )
+    service = SearchService(searcher)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            client.main(["stats", "--port", str(port)])
+        assert json.loads(buf.getvalue())["rows"] == 16
+
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        np.savez(os.path.join(d, "q.npz"),
+                 values=values[:2].astype(np.float32),
+                 indices=indices[:2].astype(np.int32))
+        with open(os.path.join(d, "qids.json"), "w") as f:
+            json.dump(["a", "b"], f)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            client.main(["search", "--port", str(port),
+                         "--values-npz", os.path.join(d, "q.npz"),
+                         "--qids-json", os.path.join(d, "qids.json")])
+        out = json.loads(buf.getvalue())
+        assert out["results"]["a"][0] == "d0"
+        assert out["results"]["b"][0] == "d1"
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
