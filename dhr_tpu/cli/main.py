@@ -578,7 +578,7 @@ def cmd_serve(args):
         )
     serve(searcher, host=args.host, port=args.port,
           micro_batch_ms=args.micro_batch_ms, small_searcher=small,
-          query_encoder=query_encoder)
+          query_encoder=query_encoder, max_pending=args.max_pending)
 
 
 def cmd_merge_runs(args):
@@ -1003,6 +1003,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="> 0: threaded server + device-worker coalescing — "
                         "concurrent requests pool into one padded search "
                         "batch, waiting at most this window for stragglers")
+    p.add_argument("--max-pending", type=int, default=0,
+                   help="> 0 (with --micro-batch-ms): bound the ingress "
+                        "queue; excess requests get HTTP 503 + Retry-After "
+                        "instead of buffering without limit")
     p.add_argument("--low-latency-batch", type=int, default=0,
                    help="> 0 (with --micro-batch-ms): also compile a "
                         "small-batch search program over the same index; "

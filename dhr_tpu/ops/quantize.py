@@ -1,12 +1,11 @@
 """Int8 quantization of index value planes.
 
-Replaces the reference's faiss ``IndexPQ(m=64, 8 bit)`` compression
-(retrieval/quantize_index.py:27-38) with a TPU-friendly scheme: symmetric
-per-dimension int8 scaling of the value plane.  At 1 byte/dim it matches the
-PQ memory budget exactly (64 sub-quantizers x 8 bit over 768+128 dims ~ one
-byte per 14 dims for PQ vs 1 byte/dim here; for *equal-memory* comparisons use
-``bits=8`` values + uint8 index planes which reproduces the reference's
-uncompressed-index dtype budget, and per-dim int8 for the compressed budget).
+A TPU-friendly alternative to the reference's faiss ``IndexPQ(m=64, 8 bit)``
+compression (retrieval/quantize_index.py:27-38): symmetric per-dimension int8
+scaling of the value plane.  NOTE this is a *distinct, larger* memory budget
+than PQ64 — 1 byte/dim (896 B/row for 768+128 dims) vs PQ's 64 B/row; the
+equal-budget PQ mode lives in ``ops/pq.py``.  See the recall/memory table in
+docs/design.md ("Quantization recall") for the int8 vs PQ64 vs f16 trade-off.
 
 Dequantization fuses into the scoring matmul: ``(q . scale) @ int8_values`` —
 the scale folds into the query side so the corpus stays int8 in HBM end to

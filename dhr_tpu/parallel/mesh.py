@@ -90,11 +90,20 @@ def row_axes(mesh: Mesh | None, axis: str = INDEX_AXIS) -> tuple[str, ...]:
 
     Any 2-D mesh containing ``axis`` counts as hybrid regardless of what
     the outer axis is called (``make_hybrid_mesh(host_axis=...)`` lets
-    callers rename it); for >2-D meshes only the conventional
-    :data:`HOST_AXIS` name is recognized."""
+    callers rename it), but ``axis`` must be the LAST (inner/ICI) mesh
+    axis — a mesh ordered ``(index, host)`` would shard rows index-major
+    and route the heavy stage-1 all-gather over the slow outer/DCN axis,
+    so we reject it loudly instead of degrading silently; for >2-D meshes
+    only the conventional :data:`HOST_AXIS` name is recognized."""
     if mesh is None or axis not in mesh.axis_names:
         return (axis,)
     if len(mesh.axis_names) == 2:
+        if mesh.axis_names[-1] != axis:
+            raise ValueError(
+                f"hybrid mesh axes {mesh.axis_names} put {axis!r} on the "
+                f"outer (DCN) axis; build the mesh (outer, {axis!r}) — e.g. "
+                f"with make_hybrid_mesh — so heavy collectives stay on ICI"
+            )
         return tuple(mesh.axis_names)  # (outer, inner) in mesh order
     if HOST_AXIS in mesh.axis_names:
         return (HOST_AXIS, axis)

@@ -41,6 +41,10 @@ import numpy as np
 logger = logging.getLogger("dhr_tpu.serve")
 
 
+class ServiceOverloaded(Exception):
+    """Raised when the bounded ingress queue is full; maps to HTTP 503."""
+
+
 def _validate_queries(qids, values, indices):
     """Convert + shape-check one request; returns (qids, values, indices)."""
     qids = list(qids)
@@ -50,6 +54,10 @@ def _validate_queries(qids, values, indices):
             f"{len(qids)} qids for values of shape {values.shape}; "
             "need one (D,)-row per qid"
         )
+    if len({str(q) for q in qids}) != len(qids):
+        # later rows would silently overwrite earlier ones in the
+        # result dict (and uid pooling) — fail the request at submit time
+        raise ValueError("duplicate qids within one request")
     if indices is not None:
         indices = np.asarray(indices, np.int32)
         if indices.shape[0] != values.shape[0]:
@@ -74,17 +82,25 @@ class MicroBatcher:
     there instead — the theta-pass/candidate/rerank programs all scale with
     the batch dim, so a lone query stops paying the full 64-query padded
     program (low-latency path).
+
+    ``max_pending`` (>0) bounds the ingress queue: a client flood no longer
+    buffers without limit — once ``max_pending`` requests are waiting,
+    further submits raise :class:`ServiceOverloaded` (HTTP 503 +
+    ``Retry-After`` at the handler) so memory stays bounded and callers get
+    a clean shed signal instead of unbounded latency.
     """
 
     def __init__(self, searcher, window_ms: float = 3.0,
-                 small_searcher=None):
+                 small_searcher=None, max_pending: int = 0):
         self.searcher = searcher
         self.small = small_searcher
         self.small_batches_run = 0
         self.window = window_ms / 1000.0
         self.batches_run = 0          # introspection/tests
         self.max_batch_seen = 0
-        self._q: queue.Queue = queue.Queue()
+        self.rejects = 0
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._carry = None  # request pulled but too big for the last pool
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -95,7 +111,13 @@ class MicroBatcher:
         qids, values, indices = _validate_queries(qids, values, indices)
         done = threading.Event()
         slot: dict = {}
-        self._q.put((qids, values, indices, done, slot))
+        try:
+            self._q.put_nowait((qids, values, indices, done, slot))
+        except queue.Full:
+            self.rejects += 1
+            raise ServiceOverloaded(
+                f"{self._q.maxsize} requests already pending; retry later"
+            ) from None
         done.wait()
         if "error" in slot:
             raise slot["error"]
@@ -104,7 +126,10 @@ class MicroBatcher:
     def _loop(self):
         cap = self.searcher.config.query_batch
         while True:
-            batch = [self._q.get()]
+            if self._carry is not None:
+                batch, self._carry = [self._carry], None
+            else:
+                batch = [self._q.get()]
             n = len(batch[0][0])
             deadline = time.perf_counter() + self.window
             while n < cap:
@@ -114,6 +139,12 @@ class MicroBatcher:
                 try:
                     item = self._q.get(timeout=timeout)
                 except queue.Empty:
+                    break
+                if n + len(item[0]) > cap:
+                    # admitting it would overflow the pool past one padded
+                    # program (and disqualify the low-latency route); hold
+                    # it back to lead the next pool instead
+                    self._carry = item
                     break
                 batch.append(item)
                 n += len(item[0])
@@ -179,12 +210,14 @@ class SearchService:
     """
 
     def __init__(self, searcher, micro_batch_ms: float = 0.0,
-                 small_searcher=None, query_encoder=None):
+                 small_searcher=None, query_encoder=None,
+                 max_pending: int = 0):
         self.searcher = searcher
         self.query_encoder = query_encoder
         self.batcher = (
             MicroBatcher(searcher, micro_batch_ms,
-                         small_searcher=small_searcher)
+                         small_searcher=small_searcher,
+                         max_pending=max_pending)
             if micro_batch_ms > 0 else None
         )
 
@@ -228,6 +261,9 @@ class SearchService:
         if self.batcher is not None:
             out["micro_batches_run"] = self.batcher.batches_run
             out["micro_batch_max_queries"] = self.batcher.max_batch_seen
+            out["queue_depth"] = self.batcher._q.qsize()
+            out["max_pending"] = int(self.batcher._q.maxsize)
+            out["rejects"] = self.batcher.rejects
             if self.batcher.small is not None:
                 out["low_latency_batches_run"] = \
                     self.batcher.small_batches_run
@@ -241,11 +277,13 @@ def make_handler(service: SearchService):
         def log_message(self, fmt, *args):  # route to logging, not stderr
             logger.debug(fmt, *args)
 
-        def _reply(self, code: int, obj: dict):
+        def _reply(self, code: int, obj: dict, headers: dict | None = None):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -268,6 +306,9 @@ def make_handler(service: SearchService):
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length))
                 self._reply(200, fn(payload))
+            except ServiceOverloaded as e:
+                self._reply(503, {"error": f"overloaded: {e}"},
+                            headers={"Retry-After": "1"})
             except Exception as e:  # noqa: BLE001 - report to the client
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -276,18 +317,20 @@ def make_handler(service: SearchService):
 
 def serve(searcher, host: str = "127.0.0.1", port: int = 8080,
           micro_batch_ms: float = 0.0, small_searcher=None,
-          query_encoder=None):
+          query_encoder=None, max_pending: int = 0):
     """Blocking serve loop.
 
     ``micro_batch_ms > 0`` switches to the threaded server + device-worker
     coalescing (see :class:`MicroBatcher`): concurrent single-query requests
     share one padded program dispatch.  ``small_searcher`` adds the
     low-latency small-batch route for pools that fit it.  ``query_encoder``
-    enables ``/search_text``.
+    enables ``/search_text``.  ``max_pending`` bounds the ingress queue
+    (excess requests get HTTP 503 + ``Retry-After``).
     """
     service = SearchService(searcher, micro_batch_ms=micro_batch_ms,
                             small_searcher=small_searcher,
-                            query_encoder=query_encoder)
+                            query_encoder=query_encoder,
+                            max_pending=max_pending)
     server_cls = ThreadingHTTPServer if micro_batch_ms > 0 else HTTPServer
     server = server_cls((host, port), make_handler(service))
     logger.info("serving %d rows on %s:%d (micro_batch_ms=%s)",

@@ -170,8 +170,21 @@ def run_training(
                     if run_cfg.ckpt_dir and gstep % run_cfg.save_steps == 0:
                         # background save: TrainState is functional, so the
                         # worker's device_get reads a stable snapshot while
-                        # the loop keeps dispatching steps
-                        ckptr.save(run_cfg.ckpt_dir, state)
+                        # the loop keeps dispatching steps.  save() first
+                        # joins the PREVIOUS save, whose transient IO error
+                        # must not abort training — the final synchronous
+                        # save is the authoritative one (emergency/final
+                        # paths still raise).
+                        try:
+                            ckptr.save(run_cfg.ckpt_dir, state)
+                        except Exception:  # noqa: BLE001
+                            logger.exception(
+                                "previous async checkpoint failed; "
+                                "training continues"
+                            )
+                            # wait() cleared the old error — still start
+                            # THIS interval's save
+                            ckptr.save(run_cfg.ckpt_dir, state)
             if losses:
                 log_interval(run_cfg.num_epochs - 1)
         except Exception:

@@ -173,3 +173,17 @@ def test_bench_and_entry_modules_import():
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
     assert callable(mod.entry) and callable(mod.dryrun_multichip)
+
+
+def test_row_axes_rejects_inner_axis_on_outer_position(eight_devices):
+    """A caller-built (index, host) mesh would route the heavy stage-1
+    all-gather over the outer/DCN axis; row_axes must fail loudly."""
+    import numpy as np
+    import pytest
+    from jax.sharding import Mesh
+
+    from dhr_tpu.parallel import row_axes
+
+    bad = Mesh(np.asarray(eight_devices).reshape(4, 2), ("index", "host"))
+    with pytest.raises(ValueError, match="outer"):
+        row_axes(bad, "index")

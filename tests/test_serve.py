@@ -468,3 +468,120 @@ def test_serve_client_tool(rng):
     finally:
         server.shutdown()
         t.join(timeout=5)
+
+
+def test_validate_rejects_duplicate_qids(rng):
+    """A request repeating a qid fails at submit time instead of silently
+    returning fewer result rows (dict keying would overwrite)."""
+    import pytest
+
+    service, packed = build_service(rng)
+    with pytest.raises(ValueError, match="duplicate qids"):
+        service.search({
+            "values": packed.values[:2].astype(np.float32).tolist(),
+            "indices": packed.indices[:2].astype(int).tolist(),
+            "qids": ["q", "q"],
+        })
+
+
+def test_micro_batcher_overflow_request_carries_to_next_pool(rng):
+    """A request that would overflow the pool past query_batch leads the
+    NEXT pool instead of forcing a second padded dispatch in this one."""
+    from dhr_tpu.serve import MicroBatcher
+
+    values = (rng.random((32, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (32, 12)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(32)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=12)
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=3, mode="gip", theta=0.0, query_batch=4),
+    )
+    batcher = MicroBatcher(searcher, window_ms=500.0)
+    results = {}
+
+    def one(name, rows):
+        r, _ = batcher.search(
+            [f"{name}{j}" for j in range(len(rows))],
+            packed.values[rows].astype(np.float32),
+            packed.indices[rows].astype(np.int32))
+        results[name] = r
+
+    # 3 + 3 queries with cap 4: the second request must NOT join the first
+    # pool (3+3 > 4); it leads the next one
+    ta = threading.Thread(target=one, args=("a", [0, 1, 2]))
+    ta.start()
+    import time as _time
+
+    _time.sleep(0.1)  # ensure "a" is pulled first
+    tb = threading.Thread(target=one, args=("b", [3, 4, 5]))
+    tb.start()
+    ta.join(timeout=60)
+    tb.join(timeout=60)
+    assert batcher.batches_run == 2
+    assert batcher.max_batch_seen <= 4  # no pool ever exceeded the cap
+    for j in range(3):
+        assert results["a"][f"a{j}"][0] == f"d{j}"
+        assert results["b"][f"b{j}"][0] == f"d{j + 3}"
+
+
+def test_bounded_ingress_queue_sheds_with_503(rng):
+    """Flooding a max_pending-bounded service: memory stays bounded, shed
+    requests get HTTP 503 + Retry-After, accepted ones still succeed."""
+    import time as _time
+    import urllib.error
+    from http.server import ThreadingHTTPServer
+    from types import SimpleNamespace
+
+    class SlowSearcher:
+        """Stub searcher: .config + a search_run that holds the device."""
+
+        config = SimpleNamespace(query_batch=1, mode="gip", theta=0.0,
+                                 topk=1)
+        index = SimpleNamespace(num_rows=1, dim=12, lex_dim=12, mesh=None)
+
+        def search_run(self, qids, values, indices):
+            _time.sleep(0.15)
+            return ({q: ["d0"] for q in qids}, {q: [1.0] for q in qids})
+
+    service = SearchService(SlowSearcher(), micro_batch_ms=1.0,
+                            max_pending=1)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    codes = []
+    lock = threading.Lock()
+
+    def one():
+        payload = json.dumps({"values": [[0.0] * 12], "qids": ["q"]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search", data=payload,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                out = json.loads(r.read())
+                assert out["results"]["q"] == ["d0"]
+                with lock:
+                    codes.append(200)
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers.get("Retry-After") == "1"
+            with lock:
+                codes.append(503)
+
+    try:
+        threads = [threading.Thread(target=one) for _ in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        assert len(codes) == 8
+        assert codes.count(200) >= 1
+        assert codes.count(503) >= 1  # the flood was shed, not buffered
+        stats = service.stats()
+        assert stats["rejects"] == codes.count(503)
+        assert stats["max_pending"] == 1
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
