@@ -260,6 +260,7 @@ def cmd_train(args):
         ),
         RunConfig(
             num_epochs=args.num_epochs,
+            max_steps=args.max_steps,
             batch_size=args.batch_size,
             save_steps=args.save_steps,
             log_steps=args.log_steps,
@@ -858,6 +859,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-steps", type=int, default=2500)
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--num-epochs", type=int, default=1)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="stop after this many global steps (HF "
+                        "TrainingArguments.max_steps); default epoch-bounded")
     p.add_argument("--save-steps", type=int, default=20000)
     p.add_argument("--log-steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)

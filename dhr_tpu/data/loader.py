@@ -68,24 +68,33 @@ class TrainLoader:
             group, item, epoch, self.cfg, rng, self.corpus
         )
 
-    def _epoch_batches(self, epoch: int) -> Iterator[dict]:
-        rng = random.Random(self.cfg.seed + epoch)
+    def _batch_rng(self, epoch: int, b: int) -> random.Random:
+        # per-(epoch, batch-position) seeding — NOT a stream advancing
+        # across the epoch — so a mid-epoch resume (``skip``) reproduces
+        # the uninterrupted run's draws exactly without replaying skipped
+        # batches' rng consumption
+        return random.Random((self.cfg.seed + epoch) * 1_000_000_007 + b)
+
+    def _epoch_batches(self, epoch: int, skip: int = 0) -> Iterator[dict]:
+        spe = self.steps_per_epoch()
         if self.tasb is not None:
-            for _ in range(self.steps_per_epoch()):
-                items = self.tasb.batch_indices(self.global_step,
-                                                self.batch_size)
-                yield self._collate(items, epoch, rng)
-                self.global_step += 1
+            for b in range(skip, spe):
+                step = epoch * spe + b
+                items = self.tasb.batch_indices(step, self.batch_size)
+                yield self._collate(items, epoch, self._batch_rng(epoch, b))
+                self.global_step = step + 1
         else:
             order = np.random.default_rng(self.cfg.seed + epoch).permutation(
                 len(self.groups)
             )
-            for start in range(0, len(order), self.batch_size):
+            for b, start in enumerate(range(0, len(order), self.batch_size)):
                 items = order[start: start + self.batch_size].tolist()
                 if len(items) < self.batch_size and self.drop_last:
                     break
-                yield self._collate(items, epoch, rng)
-                self.global_step += 1
+                if b < skip:
+                    continue
+                yield self._collate(items, epoch, self._batch_rng(epoch, b))
+                self.global_step = epoch * spe + b + 1
 
     def _collate(self, items, epoch, rng):
         examples = [self._make_example(i, epoch, rng) for i in items]
@@ -94,14 +103,20 @@ class TrainLoader:
             cls_id=self.cfg.cls_id, sep_id=self.cfg.sep_id,
         )
 
-    def epoch(self, epoch: int) -> Iterator[dict]:
-        """Iterate one epoch with background prefetch."""
+    def epoch(self, epoch: int, skip: int = 0) -> Iterator[dict]:
+        """Iterate one epoch with background prefetch.
+
+        ``skip`` drops the first ``skip`` batches (already consumed before
+        a resume) while yielding the exact batches the uninterrupted run
+        would produce from that position (HF Trainer's
+        ``ignore_data_skip=False`` behavior, which the reference inherits).
+        """
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def producer():
             try:
-                for batch in self._epoch_batches(epoch):
+                for batch in self._epoch_batches(epoch, skip):
                     q.put(batch)
             finally:
                 q.put(sentinel)
