@@ -236,13 +236,17 @@ def main():
     _ = float(s[0, 0])
     warm_s = time.perf_counter() - t0
 
-    # best of 2 passes: the dev tunnel adds multi-ms jitter per dispatch
-    elapsed = float("inf")
-    for _ in range(2):
+    # median of 5 passes: the dev relay adds multi-ms jitter per dispatch
+    # and occasional slow passes; the median reflects sustained throughput
+    # (best/all passes reported in the detail block)
+    times = []
+    for _ in range(5):
         t0 = time.perf_counter()
         scores, rows = searcher.search(qv, qi)
         _ = float(scores[-1, -1])
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
+    elapsed_best = min(times)
 
     del index, searcher  # free HBM for the encode measurement
     encode_pps = measure_encode_throughput(rng)
@@ -256,6 +260,8 @@ def main():
         "vs_baseline": round(qps_msmarco_equiv / REFERENCE_QPS_ESTIMATE, 3),
         "detail": {
             "elapsed_s": round(elapsed, 3),
+            "qps_best_pass": round(N_QUERIES / elapsed_best, 2),
+            "pass_times_s": [round(t, 3) for t in times],
             "index_build_s": round(build_s, 2),
             "index_build_compile_s": round(build_compile_s, 1),
             "warmup_s": round(warm_s, 1),

@@ -493,7 +493,8 @@ def cmd_search(args):
         mesh = make_mesh(axis="index")
     searcher = Searcher(
         DeviceIndex.from_packed(packed, mesh=mesh,
-                                value_dtype=_value_dtype(args.value_dtype)),
+                                value_dtype=_value_dtype(args.value_dtype),
+                                layout=_resolve_layout(args)),
         SearchConfig(
             topk=args.topk,
             mode="pq" if getattr(args, "pqip", False) else (
@@ -521,6 +522,18 @@ def _value_dtype(name: str | None):
     import jax.numpy as jnp
 
     return {"bf16": jnp.bfloat16, "f16": jnp.float16, "f32": jnp.float32}[name]
+
+
+def _resolve_layout(args) -> str:
+    """'auto' picks the cheapest plane layout the chosen mode can use:
+    ip/pq candidates score row-major (single layout, half the HBM);
+    gip needs dim-major, plus row-major only when reranking."""
+    choice = getattr(args, "layout", "auto")
+    if choice != "auto":
+        return choice
+    if getattr(args, "pqip", False) or args.ip:
+        return "row"
+    return "both" if args.rerank else "dim"
 
 
 def cmd_serve(args):
@@ -552,7 +565,8 @@ def cmd_serve(args):
     if args.shard_over_devices and len(jax.devices()) > 1:
         mesh = make_mesh(axis="index")
     searcher = Searcher(
-        DeviceIndex.from_packed(packed, mesh=mesh),
+        DeviceIndex.from_packed(packed, mesh=mesh,
+                                layout=_resolve_layout(args)),
         SearchConfig(
             topk=args.topk,
             mode="pq" if getattr(args, "pqip", False) else (
@@ -959,6 +973,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-candidate-bf16", action="store_true",
                    help="keep f32 stage-1 candidate scores (bf16 is the "
                         "default with --rerank; recall measured unchanged)")
+    p.add_argument("--layout", default="auto",
+                   choices=["auto", "both", "row", "dim"],
+                   help="device plane layout: 'both' row+dim-major "
+                        "(gip+rerank), 'row'/'dim' keep one orientation and "
+                        "halve index HBM; auto picks from the mode")
     p.add_argument("--total-shard", type=int, default=1)
     p.add_argument("--shard", type=int, default=0)
     p.add_argument("--shard-over-devices", action="store_true")
@@ -1002,6 +1021,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="approx_max_k recall target for the candidate pool")
     p.add_argument("--exact-candidates", action="store_true")
     p.add_argument("--no-candidate-bf16", action="store_true")
+    p.add_argument("--layout", default="auto",
+                   choices=["auto", "both", "row", "dim"],
+                   help="device plane layout (see 'search --layout')")
     p.add_argument("--shard-over-devices", action="store_true")
     p.add_argument("--micro-batch-ms", type=float, default=0.0,
                    help="> 0: threaded server + device-worker coalescing — "

@@ -184,3 +184,184 @@ def partial_gip_scores_pallas(qv, qi, values_T, indices_T, lex_dim, n_dims,
         n_tile=n_tile, interpret=interpret, unroll=unroll,
         out_dtype=out_dtype,
     )
+
+
+# --------------------------------------------------------------------------
+# fused candidate selection (theta pass + in-kernel block reduction)
+# --------------------------------------------------------------------------
+
+
+def _make_candidates_kernel(unroll: int, reduce_block: int):
+    """Theta-pass kernel emitting per-block (max, argmax-row) planes.
+
+    Identical streaming/accumulation to :func:`_make_kernel`, but instead of
+    writing the full ``(B, N)`` score plane, the LAST reduction step
+    reduces the f32 accumulator tile over groups of ``reduce_block``
+    consecutive sublanes and writes only the per-group winner's score and
+    absolute row id.  The reduction is pure VPU work in the tail of a
+    DMA-bound kernel (measured VPU-idle, docs/design.md), so it is
+    effectively free — and the downstream candidate top-k shrinks by
+    ``reduce_block``x while the ``(B, N)`` score write disappears
+    entirely.  The analog of the reference's fused score+topk
+    (retrieval/gip_retrieval.py:142), restructured for the TPU memory
+    system.
+
+    A "block" is the ``reduce_block`` rows sharing a lane within a sublane
+    group — an arbitrary but fixed partition of the shard's rows into
+    ``N / reduce_block`` groups; candidate recall loses only the rare
+    true-top rows that share a block with a better row (expected
+    ``topk^2 / (2 N / G)`` collisions — ~2.4 of the top-1000 at 1.64M rows,
+    G=8), and the exact rerank that always follows re-scores the survivors.
+    """
+    G = reduce_block
+
+    def _kernel(dims_ref, gates_ref, vals_ref, lex_ref,  # scalar prefetch
+                *refs):  # unroll vrows, unroll irows, outv, outr, acc
+        vrows = refs[:unroll]
+        irows = refs[unroll:2 * unroll]
+        outv_ref = refs[2 * unroll]
+        outr_ref = refs[2 * unroll + 1]
+        acc_ref = refs[2 * unroll + 2]
+        b = pl.program_id(0)
+        n = pl.program_id(1)
+        i = pl.program_id(2)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        lex_dim = lex_ref[0]
+        acc = jnp.zeros_like(acc_ref[0])
+        for j in range(unroll):
+            dim = dims_ref[b, i * unroll + j]
+            gate_val = gates_ref[b, i * unroll + j]
+            v = vals_ref[b, i * unroll + j]
+            row = vrows[j][0].astype(jnp.float32)
+            gate = jnp.logical_or(
+                irows[j][0].astype(jnp.int32) == gate_val, dim >= lex_dim
+            )
+            acc += jnp.where(gate, row * v, 0.0)
+        acc_ref[0] += acc
+
+        @pl.when(i == pl.num_programs(2) - 1)
+        def _():
+            ts = acc_ref.shape[1]
+            x = acc_ref[0].reshape(ts // G, G, LANE)
+            best_v = x[:, 0, :]
+            best_j = jnp.zeros((ts // G, LANE), jnp.int32)
+            for j in range(1, G):
+                v = x[:, j, :]
+                m = v > best_v  # strict: first max wins (np.argmax rule)
+                best_v = jnp.where(m, v, best_v)
+                best_j = jnp.where(m, j, best_j)
+            g = jax.lax.broadcasted_iota(jnp.int32, (ts // G, LANE), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (ts // G, LANE), 1)
+            n0 = n * (ts * LANE)
+            outv_ref[0] = best_v.astype(outv_ref.dtype)
+            outr_ref[0] = n0 + (g * G + best_j) * LANE + lane
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tile", "interpret", "unroll", "out_dtype",
+                     "reduce_block"),
+)
+def pallas_gip_candidates(
+    imp_vals: jax.Array,     # (B, I) f32
+    imp_dims: jax.Array,     # (B, I) i32
+    imp_gates: jax.Array,    # (B, I) i32
+    values_T: jax.Array,     # (D, N) dim-major value plane
+    indices_T: jax.Array,    # (lex_dim, N) dim-major index plane
+    lex_dim: int | jax.Array,
+    n_tile: int = 4096,
+    interpret: bool = False,
+    unroll: int = 8,
+    out_dtype=jnp.bfloat16,
+    reduce_block: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Theta-pass + fused block reduction: ``(B, N/G)`` (scores, row ids).
+
+    Each reduced entry is the best-scoring row of its ``reduce_block``-row
+    group (score in ``out_dtype``, absolute row id int32); run the
+    candidate top-k over this plane and the winners ARE the candidate rows.
+    """
+    B, n_imp = imp_vals.shape
+    D, N = values_T.shape
+    G = reduce_block
+    assert N % n_tile == 0 and n_tile % (G * LANE) == 0, (N, n_tile, G)
+    unroll = max(1, min(unroll, n_imp))
+    pad = (-n_imp) % unroll
+    if pad:
+        imp_vals = jnp.pad(imp_vals, ((0, 0), (0, pad)))
+        imp_dims = jnp.pad(imp_dims, ((0, 0), (0, pad)))
+        imp_gates = jnp.pad(imp_gates, ((0, 0), (0, pad)))
+        n_imp += pad
+    n_tiles = N // n_tile
+    ts = n_tile // LANE
+    lex_rows = indices_T.shape[0]
+    v3 = values_T.reshape(D, N // LANE, LANE)
+    i3 = indices_T.reshape(lex_rows, N // LANE, LANE)
+    lex_arr = jnp.asarray(lex_dim, jnp.int32).reshape(1)
+
+    def vspec(j):
+        return pl.BlockSpec(
+            (1, ts, LANE),
+            lambda b, n, i, dims, gates, vals, lex, j=j: (
+                dims[b, i * unroll + j], n, 0
+            ),
+        )
+
+    def ispec(j):
+        return pl.BlockSpec(
+            (1, ts, LANE),
+            lambda b, n, i, dims, gates, vals, lex, j=j: (
+                jnp.minimum(dims[b, i * unroll + j], lex_rows - 1), n, 0
+            ),
+        )
+
+    out_spec = pl.BlockSpec(
+        (1, ts // G, LANE),
+        lambda b, n, i, dims, gates, vals, lex: (b, n, 0),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, n_tiles, n_imp // unroll),
+        in_specs=(
+            [vspec(j) for j in range(unroll)]
+            + [ispec(j) for j in range(unroll)]
+        ),
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((1, ts, LANE), jnp.float32)],
+    )
+    nr = N // (G * LANE)
+    red_v, red_r = pl.pallas_call(
+        _make_candidates_kernel(unroll, G),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nr, LANE), out_dtype),
+            jax.ShapeDtypeStruct((B, nr, LANE), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        imp_dims.astype(jnp.int32), imp_gates.astype(jnp.int32),
+        imp_vals.astype(jnp.float32), lex_arr,
+        *([v3] * unroll + [i3] * unroll),
+    )
+    return red_v.reshape(B, N // G), red_r.reshape(B, N // G)
+
+
+def partial_gip_candidates_pallas(qv, qi, values_T, indices_T, lex_dim,
+                                  n_dims, n_tile: int = 4096,
+                                  interpret: bool = False, unroll: int = 8,
+                                  out_dtype=jnp.bfloat16,
+                                  reduce_block: int = 8):
+    """Fused twin of :func:`partial_gip_scores_pallas`: reduced candidates."""
+    imp_val, imp_dim = jax.lax.top_k(qv, n_dims)
+    imp_gate = jnp.take_along_axis(qi, imp_dim, axis=-1)
+    return pallas_gip_candidates(
+        imp_val, imp_dim, imp_gate, values_T, indices_T, lex_dim,
+        n_tile=n_tile, interpret=interpret, unroll=unroll,
+        out_dtype=out_dtype, reduce_block=reduce_block,
+    )

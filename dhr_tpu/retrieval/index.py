@@ -185,17 +185,26 @@ class PackedIndex:
         return PackedIndex.merge(shards)
 
 
+def _check_layout(layout: str) -> None:
+    if layout not in ("both", "row", "dim"):
+        raise ValueError(
+            f"layout must be 'both', 'row', or 'dim'; got {layout!r}"
+        )
+
+
 @dataclasses.dataclass
 class DeviceIndex:
     """Device-resident index, rows sharded over the mesh ``index`` axis.
 
-    Keeps both row-major planes (rerank gathers) and dim-major twins (the
-    theta-pass streams one dim row per step).  All arrays are jax Arrays with
+    Keeps row-major planes (rerank gathers) and/or dim-major twins (the
+    theta-pass streams one dim row per step) depending on ``layout`` —
+    "both" (gip+rerank), "row" (ip/pq candidates + rerank; halves index
+    HBM), or "dim" (gip without rerank).  All arrays are jax Arrays with
     ``NamedSharding``; a 1-device mesh degrades to plain residency.
     """
 
-    values: jax.Array                # (N, D) bf16 or int8
-    values_T: jax.Array              # (D, N)
+    values: jax.Array | None         # (N, D) bf16 or int8
+    values_T: jax.Array | None       # (D, N)
     indices: jax.Array | None        # (N, lex) int8/int16 (signed for TPU)
     indices_T: jax.Array | None      # (lex, N)
     docids: np.ndarray               # host-side
@@ -211,11 +220,19 @@ class DeviceIndex:
 
     @property
     def dim(self) -> int:
-        return self.values.shape[1]
+        if self.values is not None:
+            return self.values.shape[1]
+        return self.values_T.shape[0]
+
+    @property
+    def has_gip_planes(self) -> bool:
+        """Dim-major index plane present (gip stage-1 possible)."""
+        return self.indices_T is not None
 
     @property
     def cls_dim(self) -> int:
-        return self.dim - self.lex_dim if self.indices is not None else 0
+        has_idx = self.indices is not None or self.indices_T is not None
+        return self.dim - self.lex_dim if has_idx else 0
 
     @staticmethod
     def from_arrays(
@@ -226,14 +243,22 @@ class DeviceIndex:
         mesh: Mesh | None = None,
         axis: str = "index",
         value_scales=None,
+        layout: str = "both",
     ) -> "DeviceIndex":
         """Build from arrays already on device (e.g. synthetic benches or a
         just-encoded corpus) — transposes happen on device, no host copy.
-        Row count must already be a multiple of the mesh size."""
+        Row count must already be a multiple of the mesh size.
+
+        ``layout``: ``"both"`` keeps row- and dim-major planes (the
+        gip+rerank default), ``"row"`` only row-major (ip/pq candidate
+        modes + rerank — halves index HBM), ``"dim"`` only dim-major
+        (gip without rerank).
+        """
         import jax.numpy as jnp
 
         from dhr_tpu.parallel import row_axes
 
+        _check_layout(layout)
         axes = row_axes(mesh, axis)
 
         def put(x, spec):
@@ -242,15 +267,18 @@ class DeviceIndex:
             return jax.device_put(x, NamedSharding(mesh, spec))
 
         values = jnp.asarray(values)
-        dv = put(values, P(axes, None))
-        dvt = put(values.T + 0, P(None, axes))  # +0 forces a materialized copy
+        dv = put(values, P(axes, None)) if layout != "dim" else None
+        # +0 forces a materialized copy
+        dvt = put(values.T + 0, P(None, axes)) if layout != "row" else None
         di = dit = None
         if indices is not None:
             indices = jnp.asarray(indices)
             if indices.dtype == jnp.uint8:
                 indices = indices.astype(jnp.int8)
-            di = put(indices, P(axes, None))
-            dit = put(indices.T + 0, P(None, axes))
+            if layout != "dim":
+                di = put(indices, P(axes, None))
+            if layout != "row":
+                dit = put(indices.T + 0, P(None, axes))
         return DeviceIndex(
             values=dv, values_T=dvt, indices=di, indices_T=dit,
             docids=docids, lex_dim=lex_dim, num_rows=values.shape[0],
@@ -266,11 +294,15 @@ class DeviceIndex:
         mesh: Mesh | None = None,
         axis: str = "index",
         value_dtype=None,
+        layout: str = "both",
     ) -> "DeviceIndex":
+        """``layout``: see :meth:`from_arrays` — "row" / "dim" keep a single
+        plane orientation and halve index HBM vs "both"."""
         import jax.numpy as jnp
 
         from dhr_tpu.parallel import row_axes
 
+        _check_layout(layout)
         axes = row_axes(mesh, axis)
         n_dev = 1
         if mesh is not None:
@@ -303,17 +335,23 @@ class DeviceIndex:
 
         row_spec = P(axes, None)
         col_spec = P(None, axes)
-        dv = put(values.astype(value_dtype) if value_dtype != jnp.int8
-                 else values, row_spec)
-        dvt = put(
-            np.ascontiguousarray(values.T).astype(value_dtype)
-            if value_dtype != jnp.int8 else np.ascontiguousarray(values.T),
-            col_spec,
-        )
+        dv = dvt = None
+        if layout != "dim":
+            dv = put(values.astype(value_dtype) if value_dtype != jnp.int8
+                     else values, row_spec)
+        if layout != "row":
+            dvt = put(
+                np.ascontiguousarray(values.T).astype(value_dtype)
+                if value_dtype != jnp.int8
+                else np.ascontiguousarray(values.T),
+                col_spec,
+            )
         di = dit = None
         if indices is not None:
-            di = put(indices, row_spec)
-            dit = put(np.ascontiguousarray(indices.T), col_spec)
+            if layout != "dim":
+                di = put(indices, row_spec)
+            if layout != "row":
+                dit = put(np.ascontiguousarray(indices.T), col_spec)
         scales = None
         if packed.value_scales is not None:
             scales = put(packed.value_scales.astype(np.float32), P(None))

@@ -95,6 +95,16 @@ class SearchConfig:
     # Only used with rerank=True — final scores always come from the exact
     # f32 rerank.
     candidate_bf16: bool = True
+    # Fused candidate selection: the theta-pass kernel reduces each
+    # candidate_block-row group to its (max score, argmax row) in VMEM (VPU
+    # work hidden behind the kernel's DMA streams) so the candidate top-k
+    # runs over an N/candidate_block plane and the full (B, N) score plane
+    # is never written.  The TPU analog of the reference's fused score+topk
+    # (gip_retrieval.py:142).  Only with rerank (a group's runner-up rows
+    # are unranked); "auto" = on when the reduced pool comfortably covers
+    # the candidate count.
+    fused_candidates: bool | str = "auto"
+    candidate_block: int = 8
 
 
 _PALLAS_TILES = (819200, 409600, 262144, 204800, 131072, 102400, 65536, 51200, 32768,
@@ -104,16 +114,20 @@ _VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the ~16 MB scoped limit
 
 def _pick_pallas_tile(
     n_shard: int, value_bytes: int = 2, unroll: int = 8,
-    narrow_out: bool = False,
+    narrow_out: bool = False, fused_block: int = 0,
 ) -> int | None:
     """Largest tile that divides the shard AND fits the kernel in VMEM.
 
     VMEM per tile = f32 accumulator (+ a separate bf16 out block when
-    ``narrow_out``) + ``unroll`` double-buffered value/index tile pairs;
-    exceeding the ~16 MB scoped limit is a compile error (measured: bf16
-    U=4 at n_tile=409600 fails with 16.23M > 16M).
+    ``narrow_out``, or the 1/``fused_block``-sized reduced out planes in
+    fused-candidates mode) + ``unroll`` double-buffered value/index tile
+    pairs; exceeding the ~16 MB scoped limit is a compile error (measured:
+    bf16 U=4 at n_tile=409600 fails with 16.23M > 16M).
     """
-    out_bytes = 6 if narrow_out else 4
+    if fused_block:
+        out_bytes = 4 + -(-6 // fused_block)  # f32 acc + (bf16+i32)/G outs
+    else:
+        out_bytes = 6 if narrow_out else 4
     for t in _PALLAS_TILES:
         if t > n_shard or n_shard % t:
             continue
@@ -178,6 +192,24 @@ def _partial_ip_scores(qv, values_T):
     )
 
 
+def _partial_ip_scores_rowmajor(qv, values):
+    """(B, D) x (N, D) -> (B, N): the row-major-only (layout="row") twin.
+
+    The MXU contracts either operand orientation; keeping the corpus
+    row-major lets ip/pq+rerank configs keep ONE plane copy in HBM.
+    """
+    dn = (((1,), (1,)), ((), ()))
+    if values.dtype == jnp.float32:
+        return jax.lax.dot_general(
+            qv.astype(jnp.float32), values, dn, precision="highest",
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        qv.astype(jnp.bfloat16), values.astype(jnp.bfloat16), dn,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _rerank_gip(qv, qi, cand_values, cand_indices, lex_dim):
     """Exact GIP over gathered candidates: (B, D) vs (B, K, D) -> (B, K).
 
@@ -219,6 +251,18 @@ class Searcher:
                 "mode='pq' needs a PQ-quantized index (PackedIndex."
                 "quantize_pq / 'index --pq-m')"
             )
+        if (config.mode == "gip" and index.indices_T is None
+                and index.indices is not None):
+            raise ValueError(
+                "mode='gip' needs the dim-major planes but the index was "
+                "built layout='row'; rebuild with layout='both' (or use "
+                "mode='ip'/'pq' candidates, which score row-major)"
+            )
+        if config.rerank and index.values is None:
+            raise ValueError(
+                "rerank needs the row-major planes but the index was built "
+                "layout='dim'; rebuild with layout='both' or disable rerank"
+            )
         self._stage1 = self._build_stage1()
         self._stage2 = self._build_stage2()
         self._prep = self._build_prep()
@@ -227,7 +271,10 @@ class Searcher:
     def _build_stage1(self):
         cfg, idx = self.config, self.index
         has_gip = self._has_gip
-        n_total = idx.values_T.shape[1]
+        n_total = (
+            idx.values_T.shape[1] if idx.values_T is not None
+            else idx.values.shape[0]
+        )
         k1 = min(cfg.agip_topk if cfg.rerank else cfg.topk, n_total)
         n_dims = (
             idx.dim if cfg.theta == 0.0 else min(cfg.max_important_dims, idx.dim)
@@ -239,14 +286,30 @@ class Searcher:
             for a in shard_axes:
                 n_mesh_dev *= self.mesh.shape[a]
         n_shard = n_total // n_mesh_dev
-        value_bytes = idx.values_T.dtype.itemsize
+        value_bytes = (
+            idx.values_T.dtype.itemsize if idx.values_T is not None else 2
+        )
         cand_dtype = (
             jnp.bfloat16 if cfg.rerank and cfg.candidate_bf16
             else jnp.float32
         )
+        G = cfg.candidate_block
+        want_fused = (
+            cfg.fused_candidates in (True, "auto")
+            and cfg.rerank and has_gip and G > 1
+            # "auto" respects exact-candidates (approx_candidates=False
+            # promises candidate recall 1.0, which block reduction breaks);
+            # an explicit True overrides
+            and (cfg.approx_candidates or cfg.fused_candidates is True)
+            # the reduced pool must comfortably cover the candidate count
+            # (every candidate is a distinct block winner)
+            and n_shard // G >= (k1 if cfg.fused_candidates is True
+                                 else 2 * k1)
+        )
         pallas_tile = cfg.pallas_n_tile or _pick_pallas_tile(
             n_shard, value_bytes, cfg.pallas_unroll,
             narrow_out=cand_dtype != jnp.float32,
+            fused_block=G if want_fused else 0,
         )
         pallas_ok = (
             has_gip
@@ -255,6 +318,10 @@ class Searcher:
             and n_shard % pallas_tile == 0
             and (cfg.use_pallas is True
                  or jax.default_backend() in ("tpu", "axon"))
+        )
+        fused_ok = (
+            want_fused and pallas_ok
+            and (pallas_tile // 128) % G == 0
         )
 
         def local(qv, qi, arrs, offset, n_local):
@@ -267,6 +334,34 @@ class Searcher:
                 scores = pq_ip_scores(luts, arrs[0])
             elif has_gip:
                 values_T, indices_T = arrs
+                if fused_ok:
+                    # fused path: the kernel emits (N/G) block winners;
+                    # candidate top-k runs over the reduced plane and the
+                    # winners ARE the candidate rows
+                    from dhr_tpu.ops.pallas_gip import (
+                        partial_gip_candidates_pallas,
+                    )
+
+                    red_vals, red_rows = partial_gip_candidates_pallas(
+                        qv, qi, values_T, indices_T, idx.lex_dim, n_dims,
+                        n_tile=pallas_tile, interpret=cfg.pallas_interpret,
+                        unroll=cfg.pallas_unroll, out_dtype=cand_dtype,
+                        reduce_block=G,
+                    )
+                    k_local = min(k1, n_local)
+                    if (cfg.approx_candidates
+                            and red_vals.shape[-1] > 2 * k_local):
+                        vals, pos = jax.lax.approx_max_k(
+                            red_vals, k_local,
+                            recall_target=cfg.candidate_recall,
+                        )
+                    else:
+                        vals, pos = blockwise_topk(
+                            red_vals, min(k_local, red_vals.shape[-1]),
+                            cfg.topk_block,
+                        )
+                    rows = jnp.take_along_axis(red_rows, pos, axis=-1)
+                    return vals, rows + offset
                 if pallas_ok:
                     from dhr_tpu.ops.pallas_gip import partial_gip_scores_pallas
 
@@ -279,6 +374,8 @@ class Searcher:
                     scores = _partial_gip_scores(
                         qv, qi, values_T, indices_T, idx.lex_dim, n_dims
                     )
+            elif row_major_ip:
+                scores = _partial_ip_scores_rowmajor(qv, arrs[0])
             else:
                 scores = _partial_ip_scores(qv, arrs[0])
             k_local = min(k1, n_local)
@@ -309,12 +406,17 @@ class Searcher:
         # programs (never closed over): a closed-over device array becomes an
         # HLO constant, and gigabyte constants blow up compilation.  (The PQ
         # centroid tables ARE closed over — ~1 MB, replicated.)
+        row_major_ip = not has_gip and cfg.mode != "pq" \
+            and idx.values_T is None
         if cfg.mode == "pq":
             arrays = (idx.pq_codes,)
             in_specs_arr = (P(shard_axes, None),)
         elif has_gip:
             arrays = (idx.values_T, idx.indices_T)
             in_specs_arr = (P(None, shard_axes), P(None, shard_axes))
+        elif row_major_ip:
+            arrays = (idx.values,)
+            in_specs_arr = (P(shard_axes, None),)
         else:
             arrays = (idx.values_T,)
             in_specs_arr = (P(None, shard_axes),)

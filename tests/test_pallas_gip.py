@@ -86,3 +86,69 @@ def test_pallas_kernel_bf16_out_close_to_f32(rng):
     assert b16.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(b16, np.float32), np.asarray(f32), rtol=8e-3, atol=8e-3)
+
+
+@pytest.mark.parametrize("G", [2, 4])
+def test_fused_candidates_kernel_matches_block_reduce(rng, G):
+    """Fused kernel == np block-max/argmax of the reference score plane,
+    with first-max tie semantics and exact absolute row ids."""
+    from dhr_tpu.ops.pallas_gip import partial_gip_candidates_pallas
+
+    B, N, I, lex, cls, k = 4, 1024, 6, 16, 4, 5
+    D = lex + cls
+    n_tile, LANE = 512, 128
+    ts, n_tiles = n_tile // LANE, N // n_tile
+    values_T = np.round(rng.random((D, N)) * 8) / 8  # force ties
+    indices_T = rng.integers(0, k, (lex, N)).astype(np.int8)
+    qv = np.where(rng.random((B, D)) > 0.5, rng.random((B, D)), 0.0)
+    qi = np.concatenate(
+        [rng.integers(0, k, (B, lex)), np.ones((B, cls))], axis=1
+    ).astype(np.int32)
+    args = (jnp.asarray(qv, jnp.float32), jnp.asarray(qi),
+            jnp.asarray(values_T, jnp.float32), jnp.asarray(indices_T))
+    want = np.asarray(_partial_gip_scores(*args, lex, I))
+    rv, rr = partial_gip_candidates_pallas(
+        *args, lex, I, n_tile=n_tile, interpret=True, unroll=4,
+        out_dtype=jnp.float32, reduce_block=G)
+    s5 = want.reshape(B, n_tiles, ts // G, G, LANE)
+    red_want = s5.max(axis=3).reshape(B, -1)
+    arg = s5.argmax(axis=3)  # first max on ties, like the kernel
+    tile = np.arange(n_tiles)[None, :, None, None]
+    g = np.arange(ts // G)[None, None, :, None]
+    lane = np.arange(LANE)[None, None, None, :]
+    rows_want = (tile * n_tile + (g * G + arg) * LANE + lane).reshape(B, -1)
+    np.testing.assert_allclose(np.asarray(rv), red_want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rr), rows_want)
+
+
+def test_searcher_fused_candidates_matches_plain(rng):
+    """End-to-end: fused-candidate search == plain search (same final
+    rankings) when the candidate pool covers the corpus."""
+    from dhr_tpu.retrieval import DeviceIndex, PackedIndex, SearchConfig, Searcher
+
+    N, lex, cls = 1024, 24, 8
+    D = lex + cls
+    values = (rng.random((N, D)) + 0.05).astype(np.float16)
+    indices = rng.integers(0, 6, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex)
+    qv = values[:8].astype(np.float32)
+    qi = indices[:8].astype(np.int32)
+
+    common = dict(topk=10, mode="gip", theta=0.1, rerank=True,
+                  agip_topk=512, query_batch=8, use_pallas=True,
+                  pallas_interpret=True, pallas_n_tile=256,
+                  approx_candidates=False)
+    plain = Searcher(DeviceIndex.from_packed(packed),
+                     SearchConfig(fused_candidates=False, **common))
+    fused = Searcher(DeviceIndex.from_packed(packed),
+                     SearchConfig(fused_candidates=True, candidate_block=2,
+                                  **common))
+    sp, rp = plain.search(qv, qi)
+    sf, rf = fused.search(qv, qi)
+    # the 512-candidate pool (of 512 block winners) plus exact rerank makes
+    # missing a true top-10 row require it to lose its block to a better
+    # row AND that block's winner to rank below 512 — assert exact equality
+    # on this seeded fixture
+    np.testing.assert_array_equal(rp[:, :10], rf[:, :10])
+    np.testing.assert_allclose(sp[:, :10], sf[:, :10], rtol=1e-5, atol=1e-5)

@@ -578,3 +578,67 @@ def test_int8_quantized_index_on_hybrid_mesh(rng, eight_devices):
     s2, r2 = hybrid.search(qv, qi)
     np.testing.assert_allclose(s1, s2, rtol=1e-3)
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_layout_row_ip_rerank_matches_both(rng):
+    """layout='row' (single plane copy, half the HBM) with ip+rerank gives
+    the same results as the default two-layout index."""
+    import jax.numpy as jnp
+
+    N, lex, cls = 96, 12, 4
+    D = lex + cls
+    values = (rng.random((N, D)) + 0.05).astype(np.float16)
+    indices = rng.integers(0, 5, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex)
+    cfg = SearchConfig(topk=7, mode="ip", rerank=True, agip_topk=32,
+                       query_batch=4)
+    both = Searcher(DeviceIndex.from_packed(packed), cfg)
+    row = Searcher(DeviceIndex.from_packed(packed, layout="row"), cfg)
+    assert row.index.values_T is None and row.index.indices_T is None
+    qv = values[:4].astype(np.float32)
+    qi = indices[:4].astype(np.int32)
+    sb, rb = both.search(qv, qi)
+    sr, rr = row.search(qv, qi)
+    np.testing.assert_array_equal(rb, rr)
+    np.testing.assert_allclose(sb, sr, rtol=1e-5, atol=1e-5)
+
+
+def test_layout_dim_gip_matches_both(rng):
+    """layout='dim' (stage-1-only gip, no rerank planes) == default."""
+    N, lex, cls = 96, 12, 4
+    D = lex + cls
+    values = (rng.random((N, D)) + 0.05).astype(np.float16)
+    indices = rng.integers(0, 5, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex)
+    cfg = SearchConfig(topk=7, mode="gip", theta=0.0, query_batch=4)
+    both = Searcher(DeviceIndex.from_packed(packed), cfg)
+    dim = Searcher(DeviceIndex.from_packed(packed, layout="dim"), cfg)
+    assert dim.index.values is None and dim.index.indices is None
+    qv = values[:4].astype(np.float32)
+    qi = indices[:4].astype(np.int32)
+    sb, rb = both.search(qv, qi)
+    sd, rd = dim.search(qv, qi)
+    np.testing.assert_array_equal(rb, rd)
+    np.testing.assert_allclose(sb, sd, rtol=1e-5, atol=1e-5)
+
+
+def test_layout_validation_errors(rng):
+    """Impossible (layout, mode) combinations fail loudly at build time."""
+    import pytest
+
+    N, lex = 32, 8
+    values = (rng.random((N, lex + 2)) + 0.05).astype(np.float16)
+    indices = rng.integers(0, 5, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex)
+    with pytest.raises(ValueError, match="dim-major"):
+        Searcher(DeviceIndex.from_packed(packed, layout="row"),
+                 SearchConfig(mode="gip", theta=0.1, query_batch=4))
+    with pytest.raises(ValueError, match="row-major"):
+        Searcher(DeviceIndex.from_packed(packed, layout="dim"),
+                 SearchConfig(mode="gip", theta=0.1, rerank=True,
+                              query_batch=4))
+    with pytest.raises(ValueError, match="layout"):
+        DeviceIndex.from_packed(packed, layout="rows")

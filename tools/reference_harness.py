@@ -101,6 +101,12 @@ def build_checkpoint(ckpt_dir: str, seed: int = 0, hidden: int = 128,
             num_heads=heads, intermediate_size=ff,
             max_position_embeddings=512, type_vocab_size=0,
             dtype=jnp.float32,
+            # zero dropout IN THE EXPORTED CONFIG: transformers' sdpa
+            # attention reads config.attention_dropout as a float (not an
+            # nn.Dropout), so a train-mode reference forward is stochastic
+            # unless the config itself says 0 — required for the training
+            # parity run, harmless for the no-grad eval encode runs
+            hidden_dropout=0.0, attention_dropout=0.0,
         ),
         add_pooler=True,
         projection_dim=proj_dim,
@@ -558,6 +564,263 @@ def run_parity_agg(work: str, n_corpus: int = 1000, n_queries: int = 8,
     return report
 
 
+_TORCH_TRAIN_SCRIPT = r'''
+"""Run the reference DHRModel TRAINING forward/backward on a fixed batch.
+
+argv: ckpt_dir batch_npz out_npz n_passages [teacher_ckpt]
+teacher_ckpt != "-" enables the TCT path (model_args.tct + a
+ColBERTForInference teacher, driver/train.py:76-101).
+Saves: loss, scores, grad::<name> for every param with a grad, and
+post::<name> for every param after one SGD(lr=0.1) step.
+"""
+import sys
+
+import numpy as np
+import torch
+
+torch.set_num_threads(1)
+torch.manual_seed(0)
+
+ckpt, batch_npz, out_npz, n_passages = (
+    sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]))
+teacher_ckpt = sys.argv[5] if len(sys.argv) > 5 else "-"
+
+from tevatron.arguments import (  # noqa: E402
+    ColBERTModelArguments, DataArguments, DenseTrainingArguments,
+    ModelArguments)
+from tevatron.DHR.modeling import DHRModel  # noqa: E402
+
+model_args = ModelArguments(
+    model_name_or_path=ckpt, combine_cls=True, add_pooler=True,
+    projection_in_dim=128, projection_out_dim=128, dlr_out_dim=768,
+    tct=teacher_ckpt != "-",
+)
+data_args = DataArguments(train_n_passages=n_passages)
+train_args = DenseTrainingArguments(
+    output_dir=ckpt + "/_train_out", per_device_train_batch_size=4,
+)
+teacher = None
+if teacher_ckpt != "-":
+    from tevatron.ColBERT.modeling import ColBERTForInference
+
+    t_args = ColBERTModelArguments()
+    t_args.model_name_or_path = teacher_ckpt
+    teacher = ColBERTForInference.build(
+        model_args=t_args, data_args=data_args, train_args=train_args,
+        output_hidden_states=True,
+    )
+# the reference train driver builds with output_hidden_states=True
+# (driver/train.py:67); encode_query reads hidden_states[-1]
+model = DHRModel.build(model_args, data_args, train_args, teacher,
+                       output_hidden_states=True)
+for m in model.modules():  # deterministic forward on both sides
+    if isinstance(m, torch.nn.Dropout):
+        m.p = 0.0
+model.train()
+
+z = np.load(batch_npz)
+def t(name):
+    return torch.from_numpy(z[name]).long()
+out = model(
+    query={"input_ids": t("q_ids"), "attention_mask": t("q_mask")},
+    passage={"input_ids": t("p_ids"), "attention_mask": t("p_mask")},
+)
+out.loss.backward()
+
+save = {"loss": out.loss.detach().numpy(),
+        "scores": out.scores.detach().numpy()}
+for name, p in model.named_parameters():
+    if p.grad is not None:
+        save["grad::" + name] = p.grad.detach().numpy()
+opt = torch.optim.SGD(
+    [p for p in model.parameters() if p.requires_grad], lr=0.1)
+opt.step()
+for name, p in model.named_parameters():
+    save["post::" + name] = p.detach().numpy()
+np.savez(out_npz, **save)
+print("torch train forward done")
+'''
+
+
+def run_parity_training(work: str, B: int = 4, n_passages: int = 4,
+                        q_len: int = 8, p_len: int = 16,
+                        tct: bool = False) -> dict:
+    """Executed-reference TRAINING parity (VERDICT r2 item 2).
+
+    Loads identical weights into the reference ``DHRModel`` (torch CPU) and
+    our ``BiEncoder``, runs ONE training forward/backward on an identical
+    (query, passages) batch with dropout disabled, and compares the fused
+    listwise scores, the KL loss, every parameter gradient, and the
+    post-one-SGD-step parameters (reference DHR/modeling.py:127-208).
+    ``tct=True`` additionally builds an identical-weight ColBERT teacher on
+    both sides and compares the TCT-KD loss (KL vs teacher at temperature
+    splits 1 / 3/4 / 1/4, DHR/modeling.py:176-187).
+
+    Word-embedding (and tied vocab_projector) gradients are excluded: the
+    reference freezes word embeddings for DHR (modeling.py:412-415), as we
+    do via ``OptimizerConfig.freeze_word_embeddings`` — there is no torch
+    gradient to compare against.
+    """
+    import dataclasses as _dc
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from dhr_tpu.models.hf_io import convert_params_to_hf_mlm
+    from dhr_tpu.models.retrievers import BiEncoder
+    from dhr_tpu.train import loss as L
+    from dhr_tpu.train.step import LossConfig, compute_loss
+
+    os.makedirs(work, exist_ok=True)
+    ckpt = os.path.join(work, "ckpt_train")
+    os.makedirs(ckpt, exist_ok=True)
+    cfg, params = build_checkpoint(ckpt)
+    teacher_ckpt = "-"
+    t_cfg = t_params = None
+    if tct:
+        teacher_ckpt = os.path.join(work, "ckpt_teacher")
+        os.makedirs(teacher_ckpt, exist_ok=True)
+        t_cfg, t_params = build_checkpoint(
+            teacher_ckpt, seed=11, model_type="colbert")
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "q_ids": rng.integers(999, VOCAB_SIZE, (B, q_len)).astype(np.int64),
+        "q_mask": np.ones((B, q_len), np.int64),
+        "p_ids": rng.integers(999, VOCAB_SIZE,
+                              (B * n_passages, p_len)).astype(np.int64),
+        "p_mask": np.ones((B * n_passages, p_len), np.int64),
+    }
+    batch_npz = os.path.join(work, "train_batch.npz")
+    np.savez(batch_npz, **batch)
+
+    # ---- reference side (torch subprocess) -----------------------------
+    script = os.path.join(work, "ref_train.py")
+    with open(script, "w") as f:
+        f.write(_TORCH_TRAIN_SCRIPT)
+    ref_npz = os.path.join(work, "ref_train_out.npz")
+    _run([sys.executable, script, ckpt, batch_npz, ref_npz,
+          str(n_passages), teacher_ckpt], _ref_env(work))
+    ref = dict(np.load(ref_npz))
+
+    # ---- our side ------------------------------------------------------
+    model = BiEncoder(cfg)
+    loss_cfg = LossConfig(n_passages=n_passages)
+    jb = {
+        "query": {"input_ids": jnp.asarray(batch["q_ids"], jnp.int32),
+                  "attention_mask": jnp.asarray(batch["q_mask"], jnp.int32)},
+        "passage": {"input_ids": jnp.asarray(batch["p_ids"], jnp.int32),
+                    "attention_mask": jnp.asarray(batch["p_mask"],
+                                                  jnp.int32)},
+    }
+
+    teacher_scores = None
+    if tct:
+        t_model = BiEncoder(t_cfg)
+        tq, tp = t_model.apply(
+            {"params": jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                                    t_params)},
+            query=jb["query"], passage=jb["passage"], deterministic=True,
+        )
+        teacher_scores = L.colbert_teacher_scores(tq, tp)
+
+    def loss_fn(p):
+        q_reps, p_reps = model.apply(
+            {"params": p}, query=jb["query"], passage=jb["passage"],
+            deterministic=True,
+        )
+        return compute_loss(cfg, loss_cfg, q_reps, p_reps, teacher_scores)
+
+    (loss, scores), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    )
+    loss = float(loss)
+    scores = np.asarray(scores)
+
+    # map our grads (and post-step params) to the reference's param names
+    def to_named(tree) -> dict[str, np.ndarray]:
+        enc_q = tree["encoder_q"]
+        named = {
+            "lm_q." + k: np.asarray(v)
+            for k, v in convert_params_to_hf_mlm(
+                enc_q["backbone"], cfg.encoder).items()
+        }
+        for ours_key, ref_name in (("term_weight", "term_weight_trans"),
+                                   ("pooler", "pooler")):
+            leaf = enc_q[ours_key]["linear"]
+            named[f"{ref_name}.linear_q.weight"] = np.ascontiguousarray(
+                np.asarray(leaf["kernel"]).T)
+            named[f"{ref_name}.linear_q.bias"] = np.asarray(leaf["bias"])
+        return named
+
+    our_grads = to_named(grads)
+    sgd = jax.tree.map(lambda p, g: np.asarray(p) - 0.1 * np.asarray(g),
+                       jax.tree.map(np.asarray, params),
+                       jax.tree.map(np.asarray, grads))
+    our_post = to_named(sgd)
+
+    def frozen(name: str) -> bool:
+        # word embeddings are frozen on both sides; the vocab projector is
+        # tied to them, so torch has no independent grad for either
+        return "word_embeddings" in name or "vocab_projector" in name
+
+    report: dict = {
+        "config": {"B": B, "n_passages": n_passages, "tct": tct},
+        "loss_ref": float(ref["loss"]),
+        "loss_ours": loss,
+        "loss_abs_diff": abs(float(ref["loss"]) - loss),
+        "scores_max_abs_diff": float(
+            np.abs(ref["scores"] - scores).max()),
+    }
+    # Normalize by the GLOBAL gradient scale: per-tensor normalization
+    # reads pure float noise as "100% off" on parameters whose gradient is
+    # analytically zero (attention key biases — softmax is invariant to a
+    # constant added across keys, so both frameworks produce ~1e-9 noise).
+    grad_scale = max(
+        float(np.abs(ref[n]).max()) for n in ref if n.startswith("grad::")
+        and not frozen(n[len("grad::"):])
+    )
+    grad_diffs, post_diffs, compared = {}, {}, 0
+    missing = []
+    for name in ref:
+        if name.startswith("grad::"):
+            pname = name[len("grad::"):]
+            if frozen(pname):
+                continue
+            if pname not in our_grads:
+                missing.append(pname)
+                continue
+            grad_diffs[pname] = float(
+                np.abs(ref[name] - our_grads[pname]).max() / grad_scale)
+            compared += 1
+        if name.startswith("post::"):
+            pname = name[len("post::"):]
+            if frozen(pname) or pname not in our_post:
+                continue
+            p_ref = ref[name]
+            # zero-init biases whose analytic gradient is also zero (key
+            # biases) have |post| ~ float noise; floor the denominator at
+            # lr * grad_scale so those compare noise against the step size
+            scale = max(float(np.abs(p_ref).max()), 0.1 * grad_scale)
+            post_diffs[pname] = float(
+                np.abs(p_ref - our_post[pname]).max() / scale)
+    report["grads_compared"] = compared
+    report["grads_missing_on_our_side"] = missing
+    report["grad_scale"] = grad_scale
+    report["grad_max_diff_over_grad_scale"] = max(grad_diffs.values())
+    report["grad_worst_param"] = max(grad_diffs, key=grad_diffs.get)
+    report["post_sgd_max_rel_diff"] = max(post_diffs.values())
+    report["loss_world_size_note"] = (
+        "reference multiplies loss by world_size only under "
+        "negatives_x_device (trainer.py:65-66) to undo DDP grad averaging; "
+        "single-process world_size=1 here, and our global-batch loss needs "
+        "no such correction (train/loss.py docstring)"
+    )
+    return report
+
+
 def run_reference_timing(work: str, n_rows: int = 100_000, n_queries: int = 16,
                          dlr: int = 768, cls_dim: int = 128,
                          theta: float = 0.3, topk: int = 1000,
@@ -616,6 +879,9 @@ def main():
     work = args.workdir or tempfile.mkdtemp(prefix="dhr_parity_")
     print(f"workdir: {work}", file=sys.stderr)
     report = run_parity(work, n_corpus=args.n_corpus, n_queries=args.n_queries)
+    report["training"] = run_parity_training(os.path.join(work, "training"))
+    report["training_tct"] = run_parity_training(
+        os.path.join(work, "training_tct"), tct=True)
     report["agg"] = run_parity_agg(os.path.join(work, "agg"))
     report["dense"] = run_parity_agg(os.path.join(work, "dense"),
                                      model_type="dense")
