@@ -4,6 +4,7 @@ from dhr_tpu.parallel.mesh import (
     DATA_AXIS,
     HOST_AXIS,
     INDEX_AXIS,
+    global_put,
     make_hybrid_mesh,
     make_mesh,
     pad_rows_to_multiple,
@@ -18,6 +19,7 @@ __all__ = [
     "DATA_AXIS",
     "HOST_AXIS",
     "INDEX_AXIS",
+    "global_put",
     "make_hybrid_mesh",
     "make_mesh",
     "pad_rows_to_multiple",

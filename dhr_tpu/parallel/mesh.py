@@ -110,6 +110,25 @@ def row_axes(mesh: Mesh | None, axis: str = INDEX_AXIS) -> tuple[str, ...]:
     return (axis,)
 
 
+def global_put(x, mesh: Mesh, spec: P):
+    """``device_put`` that also works in MULTI-PROCESS SPMD.
+
+    Single-process: a plain ``device_put``.  Multi-process (real multi-host
+    runs and the two-process CPU validation,
+    ``tools/two_process_check.py``): every process holds the identical full
+    ``x`` and contributes its addressable shards of the global array via
+    ``make_array_from_callback`` — a plain ``device_put`` of a host array
+    cannot target non-addressable devices.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -121,14 +140,22 @@ def row_sharded(mesh: Mesh, axis: str | None = None) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str | None = None):
-    """Device-put a (nested) host batch with rows sharded over the mesh."""
-    sharding = row_sharded(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Device-put a (nested) host batch with rows sharded over the mesh.
+
+    On a hybrid mesh rows shard over the collapsed ``(outer, axis)`` axes
+    (one global batch across hosts); works in multi-process SPMD too.
+    """
+    axes = row_axes(mesh, axis or mesh.axis_names[-1])
+    return jax.tree.map(lambda x: global_put(x, mesh, P(axes)), batch)
 
 
 def replicate(tree, mesh: Mesh):
-    sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        sharding = replicated(mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(
+        lambda x: global_put(jax.device_get(x), mesh, P()), tree
+    )
 
 
 def pad_rows_to_multiple(array, multiple: int):

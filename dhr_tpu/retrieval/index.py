@@ -264,7 +264,9 @@ class DeviceIndex:
         def put(x, spec):
             if mesh is None:
                 return x
-            return jax.device_put(x, NamedSharding(mesh, spec))
+            from dhr_tpu.parallel import global_put
+
+            return global_put(x, mesh, spec)
 
         values = jnp.asarray(values)
         dv = put(values, P(axes, None)) if layout != "dim" else None
@@ -328,10 +330,11 @@ class DeviceIndex:
             indices = np.pad(indices, [(0, pad), (0, 0)])
 
         def put(arr, spec):
-            x = jnp.asarray(arr)
             if mesh is None:
-                return x
-            return jax.device_put(x, NamedSharding(mesh, spec))
+                return jnp.asarray(arr)
+            from dhr_tpu.parallel import global_put
+
+            return global_put(arr, mesh, spec)
 
         row_spec = P(axes, None)
         col_spec = P(None, axes)

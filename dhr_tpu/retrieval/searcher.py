@@ -657,6 +657,17 @@ class Searcher:
                 qi = qi.astype(np.int16)
         self._warn_truncated_scan(qv[: B])
         qvs, qv1s, qif = self._prep(jnp.asarray(qv), jnp.asarray(qi))
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-process SPMD: the sharded stage-1 program needs GLOBAL
+            # (mesh-replicated) query arrays; prep ran process-locally on
+            # identical inputs, so every process contributes the same data
+            from jax.sharding import PartitionSpec
+            from dhr_tpu.parallel import global_put
+
+            qvs, qv1s, qif = (
+                global_put(jax.device_get(x), self.mesh, PartitionSpec())
+                for x in (qvs, qv1s, qif)
+            )
         device_out = []
         for bi in range(n_batches):
             vals, rows = self._run_batch(qvs, qv1s, qif, bi * bs)
