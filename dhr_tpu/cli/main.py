@@ -508,6 +508,7 @@ def cmd_search(args):
             approx_candidates=not args.exact_candidates,
             candidate_recall=args.candidate_recall,
             candidate_bf16=not args.no_candidate_bf16,
+            candidate_slices=args.candidate_slices,
         ),
     )
     results, scores = searcher.search_run(qids, qv, qi)
@@ -580,6 +581,7 @@ def cmd_serve(args):
             approx_candidates=not args.exact_candidates,
             candidate_recall=args.candidate_recall,
             candidate_bf16=not args.no_candidate_bf16,
+            candidate_slices=args.candidate_slices,
         ),
     )
     small = None
@@ -973,6 +975,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-candidate-bf16", action="store_true",
                    help="keep f32 stage-1 candidate scores (bf16 is the "
                         "default with --rerank; recall measured unchanged)")
+    p.add_argument("--candidate-slices", default="auto",
+                   help="stratified candidate selection: approx-top-(k/S) "
+                        "per column band instead of one global top-k "
+                        "(approx_max_k is k-bound; measured 17.3 -> 12.1 ms "
+                        "at S=32, pool recall unchanged); 1 disables, "
+                        "default auto")
     p.add_argument("--layout", default="auto",
                    choices=["auto", "both", "row", "dim"],
                    help="device plane layout: 'both' row+dim-major "
@@ -1021,6 +1029,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="approx_max_k recall target for the candidate pool")
     p.add_argument("--exact-candidates", action="store_true")
     p.add_argument("--no-candidate-bf16", action="store_true")
+    p.add_argument("--candidate-slices", default="auto",
+                   help="stratified candidate selection (see 'search')")
     p.add_argument("--layout", default="auto",
                    choices=["auto", "both", "row", "dim"],
                    help="device plane layout (see 'search --layout')")

@@ -95,6 +95,16 @@ class SearchConfig:
     # Only used with rerank=True — final scores always come from the exact
     # f32 rerank.
     candidate_bf16: bool = True
+    # Stratified candidate selection (rerank path): slice the score plane
+    # into candidate_slices column bands and approx-top-(k/S) each band
+    # instead of one global approx-top-k.  approx_max_k is k-bound, not
+    # N-bound (measured 17.4 ms at BOTH 1.64M and 205k lanes, k=10k), so
+    # smaller per-slice k is cheaper (17.3 -> 12.1 ms at S=32) while
+    # per-slice coverage leaves pool recall equal or better (0.99780 vs
+    # 0.99767 measured).  Slice edges only perturb ranks near k, which the
+    # exact rerank re-scores anyway.  "auto" = 32 when shapes allow; 1
+    # disables.  Only used with rerank (the pool is unordered).
+    candidate_slices: int | str = "auto"
     # Fused candidate selection: the theta-pass kernel reduces each
     # candidate_block-row group to its (max score, argmax row) in VMEM (VPU
     # work hidden behind the kernel's DMA streams) so the candidate top-k
@@ -102,8 +112,11 @@ class SearchConfig:
     # is never written.  The TPU analog of the reference's fused score+topk
     # (gip_retrieval.py:142).  Only with rerank (a group's runner-up rows
     # are unranked); "auto" = on when the reduced pool comfortably covers
-    # the candidate count.
-    fused_candidates: bool | str = "auto"
+    # the candidate count.  Default OFF: measured on v5e the kernel itself
+    # is faster (29.2 vs 31.1 ms) but resolving winner row ids costs a
+    # 9.3 ms lane-gather, so plain + stratified selection wins e2e
+    # (design.md round-3 notes).
+    fused_candidates: bool | str = False
     candidate_block: int = 8
 
 
@@ -135,6 +148,33 @@ def _pick_pallas_tile(
         if vmem <= _VMEM_BUDGET:
             return t
     return None
+
+
+def _pick_slices(candidate_slices, n_lanes: int, k_local: int) -> int:
+    """Resolve the stratified-selection slice count for a score plane.
+
+    Halve until each slice keeps >= 64 candidates, divides the lane count,
+    and is comfortably wider than its candidate share.
+    """
+    s = 32 if candidate_slices == "auto" else int(candidate_slices)
+    while s > 1 and (
+        k_local // s < 64
+        or n_lanes % s
+        or (n_lanes // s) <= 2 * (k_local // s)
+    ):
+        s //= 2
+    return max(s, 1)
+
+
+def _stratified_approx(scores, k_local: int, S: int, recall: float):
+    """Per-slice approx-top-(k/S): (vals, positions) into the full plane."""
+    Bq, n_lanes = scores.shape
+    w = n_lanes // S
+    ks = k_local // S
+    sliced = scores.reshape(Bq * S, w)
+    vals, pos = jax.lax.approx_max_k(sliced, ks, recall_target=recall)
+    off = (jnp.arange(Bq * S, dtype=pos.dtype) % S * w)[:, None]
+    return vals.reshape(Bq, S * ks), (pos + off).reshape(Bq, S * ks)
 
 
 # --------------------------------------------------------------------------
@@ -351,10 +391,16 @@ class Searcher:
                     k_local = min(k1, n_local)
                     if (cfg.approx_candidates
                             and red_vals.shape[-1] > 2 * k_local):
-                        vals, pos = jax.lax.approx_max_k(
-                            red_vals, k_local,
-                            recall_target=cfg.candidate_recall,
-                        )
+                        S = _pick_slices(cfg.candidate_slices,
+                                         red_vals.shape[-1], k_local)
+                        if S > 1:
+                            vals, pos = _stratified_approx(
+                                red_vals, k_local, S, cfg.candidate_recall)
+                        else:
+                            vals, pos = jax.lax.approx_max_k(
+                                red_vals, k_local,
+                                recall_target=cfg.candidate_recall,
+                            )
                     else:
                         vals, pos = blockwise_topk(
                             red_vals, min(k_local, red_vals.shape[-1]),
@@ -380,9 +426,15 @@ class Searcher:
                 scores = _partial_ip_scores(qv, arrs[0])
             k_local = min(k1, n_local)
             if cfg.rerank and cfg.approx_candidates:
-                vals, rows = jax.lax.approx_max_k(
-                    scores, k_local, recall_target=cfg.candidate_recall
-                )
+                S = _pick_slices(cfg.candidate_slices, scores.shape[-1],
+                                 k_local)
+                if S > 1:
+                    vals, rows = _stratified_approx(
+                        scores, k_local, S, cfg.candidate_recall)
+                else:
+                    vals, rows = jax.lax.approx_max_k(
+                        scores, k_local, recall_target=cfg.candidate_recall
+                    )
             else:
                 # large k over a huge lane dim: grow the block so the merge
                 # pool (n_blocks * k) stays small

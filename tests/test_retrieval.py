@@ -642,3 +642,37 @@ def test_layout_validation_errors(rng):
                               query_batch=4))
     with pytest.raises(ValueError, match="layout"):
         DeviceIndex.from_packed(packed, layout="rows")
+
+
+def test_stratified_candidates_match_unstratified(rng):
+    """candidate_slices splits the approx selection per column band; with
+    CPU's exact approx_max_k fallback and a pool covering the corpus the
+    final reranked results must equal the unstratified path."""
+    N, lex, cls = 2048, 12, 4
+    D = lex + cls
+    values = (rng.random((N, D)) + 0.05).astype(np.float16)
+    indices = rng.integers(0, 5, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex)
+    common = dict(topk=10, mode="gip", theta=0.1, rerank=True,
+                  agip_topk=1024, query_batch=4)
+    plain = Searcher(DeviceIndex.from_packed(packed),
+                     SearchConfig(candidate_slices=1, **common))
+    strat = Searcher(DeviceIndex.from_packed(packed),
+                     SearchConfig(candidate_slices=4, **common))
+    qv = values[:4].astype(np.float32)
+    qi = indices[:4].astype(np.int32)
+    sp, rp = plain.search(qv, qi)
+    ss, rs = strat.search(qv, qi)
+    np.testing.assert_array_equal(rp[:, :10], rs[:, :10])
+    np.testing.assert_allclose(sp[:, :10], ss[:, :10], rtol=1e-5, atol=1e-5)
+
+
+def test_pick_slices_constraints():
+    from dhr_tpu.retrieval.searcher import _pick_slices
+
+    assert _pick_slices("auto", 1_638_400, 10000) == 32
+    assert _pick_slices("auto", 1_638_400, 256) == 4   # k/S >= 64
+    assert _pick_slices(1, 1_638_400, 10000) == 1
+    assert _pick_slices("auto", 1000, 10000) == 1      # nothing divides/fits
+    assert _pick_slices(16, 2048, 1024) == 1           # width vs share guard
