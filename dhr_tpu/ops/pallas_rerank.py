@@ -1,5 +1,13 @@
 """Pallas TPU kernel for the exact-GIP candidate rerank.
 
+STATUS: measured-REJECTED for the production path (v5e, 64 q x 10k
+candidates: 91.8 ms at U=8 vs 19.9 ms for the XLA gather rerank) — the
+per-candidate ~1.7 kB row DMAs are descriptor-issue/latency-bound, so
+multi-stream scalar-prefetch gathering loses to XLA's vectorized gather
+at this granularity (design.md "Rerank composition", round-3 note).  Kept
+in-tree, correct and tested, as the measured answer to VERDICT r2 #4;
+the searcher does not use it.
+
 The rerank stage gathers each query's ``K`` candidate rows from the
 row-major planes and scores them exactly (searcher ``_rerank_gip``,
 reference retrieval/gip_retrieval.py:144-148).  XLA's gather runs the
