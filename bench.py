@@ -13,7 +13,10 @@ Index: synthetic 1.64M-passage index generated ON DEVICE (sparse-positive
 gamma-like lexical values, uniform argmax folds) — what fits one v5e chip
 with both row- and dim-major planes resident.  The JSON also reports the
 8.8M-corpus-equivalent rate (bandwidth-proportional) for comparison at MS
-MARCO scale.
+MARCO scale.  Candidate selection is the round-3 stratified approx path
+(candidate_slices auto -> 16; measured pool recall equal-or-better than
+the global top-k at lower selection cost — docs/design.md), query_batch
+128 (0.822 ms/query device-side vs 0.961 at 64, interleaved A/B).
 
 vs_baseline: measured q/s divided by 100 q/s — our estimate of the reference
 GPU engine at the same operating point on the full 8.8M index.  The reference
@@ -54,7 +57,7 @@ LEX_DIM = 768
 CLS_DIM = 128
 N_FOLDS = 39
 N_QUERIES = 1024  # amortizes the relay's flat per-transfer latency
-QUERY_BATCH = 64
+QUERY_BATCH = 128
 THETA = 0.3
 MAX_IMPORTANT = 48
 REFERENCE_QPS_ESTIMATE = 100.0  # GPU estimate; see module docstring

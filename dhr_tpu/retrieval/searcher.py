@@ -99,11 +99,13 @@ class SearchConfig:
     # into candidate_slices column bands and approx-top-(k/S) each band
     # instead of one global approx-top-k.  approx_max_k is k-bound, not
     # N-bound (measured 17.4 ms at BOTH 1.64M and 205k lanes, k=10k), so
-    # smaller per-slice k is cheaper (17.3 -> 12.1 ms at S=32) while
-    # per-slice coverage leaves pool recall equal or better (0.99780 vs
-    # 0.99767 measured).  Slice edges only perturb ranks near k, which the
-    # exact rerank re-scores anyway.  "auto" = 32 when shapes allow; 1
-    # disables.  Only used with rerank (the pool is unordered).
+    # smaller per-slice k is cheaper while per-slice coverage leaves pool
+    # recall equal or better (0.99783 at S=16 vs 0.99767 global).  In the
+    # fused stage-1+rerank program S=16 measures fastest (57.7 vs 66.3
+    # ms/64-query batch interleaved A/B on v5e; S=32 oddly loses its
+    # isolated-program edge when fused).  Slice edges only perturb ranks
+    # near k, which the exact rerank re-scores anyway.  "auto" = 16 when
+    # shapes allow; 1 disables.  Only with rerank (the pool is unordered).
     candidate_slices: int | str = "auto"
     # Fused candidate selection: the theta-pass kernel reduces each
     # candidate_block-row group to its (max score, argmax row) in VMEM (VPU
@@ -156,7 +158,7 @@ def _pick_slices(candidate_slices, n_lanes: int, k_local: int) -> int:
     Halve until each slice keeps >= 64 candidates, divides the lane count,
     and is comfortably wider than its candidate share.
     """
-    s = 32 if candidate_slices == "auto" else int(candidate_slices)
+    s = 16 if candidate_slices == "auto" else int(candidate_slices)
     while s > 1 and (
         k_local // s < 64
         or n_lanes % s

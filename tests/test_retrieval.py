@@ -671,7 +671,7 @@ def test_stratified_candidates_match_unstratified(rng):
 def test_pick_slices_constraints():
     from dhr_tpu.retrieval.searcher import _pick_slices
 
-    assert _pick_slices("auto", 1_638_400, 10000) == 32
+    assert _pick_slices("auto", 1_638_400, 10000) == 16
     assert _pick_slices("auto", 1_638_400, 256) == 4   # k/S >= 64
     assert _pick_slices(1, 1_638_400, 10000) == 1
     assert _pick_slices("auto", 1000, 10000) == 1      # nothing divides/fits
