@@ -155,10 +155,18 @@ def _pick_pallas_tile(
 def _pick_slices(candidate_slices, n_lanes: int, k_local: int) -> int:
     """Resolve the stratified-selection slice count for a score plane.
 
-    Halve until each slice keeps >= 64 candidates, divides the lane count,
-    and is comfortably wider than its candidate share.
+    "auto" stays at 1 unless the pool is a small fraction of the plane
+    (n >= 8k): at high pool fractions the per-slice counts of true top-k
+    members vary enough that slice edges visibly change the pool (measured:
+    486/1600 rank rows moved at k/n = 25% on the parity fixture), while at
+    bench scale (k/n ~ 0.6%) the pool recall is equal-or-better.  An
+    explicit slice count skips that guard.  Then halve until each slice
+    keeps >= 64 candidates and divides the lane count.
     """
-    s = 16 if candidate_slices == "auto" else int(candidate_slices)
+    if candidate_slices == "auto":
+        s = 16 if n_lanes >= 8 * k_local else 1
+    else:
+        s = int(candidate_slices)
     while s > 1 and (
         k_local // s < 64
         or n_lanes % s

@@ -655,11 +655,13 @@ def test_stratified_candidates_match_unstratified(rng):
     docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
     packed = PackedIndex(values, indices, docids, lex_dim=lex)
     common = dict(topk=10, mode="gip", theta=0.1, rerank=True,
-                  agip_topk=1024, query_batch=4)
+                  agip_topk=256, query_batch=4)
     plain = Searcher(DeviceIndex.from_packed(packed),
                      SearchConfig(candidate_slices=1, **common))
     strat = Searcher(DeviceIndex.from_packed(packed),
                      SearchConfig(candidate_slices=4, **common))
+    from dhr_tpu.retrieval.searcher import _pick_slices
+    assert _pick_slices(4, 2048, 256) == 4  # the stratified path IS active
     qv = values[:4].astype(np.float32)
     qi = indices[:4].astype(np.int32)
     sp, rp = plain.search(qv, qi)
@@ -676,3 +678,7 @@ def test_pick_slices_constraints():
     assert _pick_slices(1, 1_638_400, 10000) == 1
     assert _pick_slices("auto", 1000, 10000) == 1      # nothing divides/fits
     assert _pick_slices(16, 2048, 1024) == 1           # width vs share guard
+    # auto refuses high pool fractions (n < 8k) — slice edges visibly move
+    # the pool there (measured on the parity fixture); explicit S may force
+    assert _pick_slices("auto", 2000, 500) == 1
+    assert _pick_slices(4, 2000, 500) == 4

@@ -257,11 +257,14 @@ def run_our_search(work: str, index_npz: str, query_pickle: str, out: str,
         "--topk", str(topk),
         "--agip-topk", str(agip_topk),
         "--run-name", "h2oloo",
-        # exact-parity settings: f32 on-device values (no bf16 rounding) and
-        # a stage-1 scan long enough to cover every above-theta dim, like the
-        # reference's full (qv > theta) gather
+        # exact-parity settings: f32 on-device values (no bf16 rounding), a
+        # stage-1 scan long enough to cover every above-theta dim like the
+        # reference's full (qv > theta) gather, and an EXACT candidate pool
+        # (the reference's torch.topk; approximate/stratified selection is
+        # a serving-throughput mode, not a parity mode)
         "--value-dtype", "f32",
         "--max-important-dims", "4096",
+        "--exact-candidates",
     ]
     if rerank:
         cmd.append("--rerank")
