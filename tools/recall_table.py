@@ -74,14 +74,16 @@ def main():
 
     import jax.numpy as jnp
 
-    def run(packed_idx, mode, value_dtype=None, theta=0.0):
+    def run(packed_idx, mode, value_dtype=None, theta=0.0,
+            approx=False, slices=1):
         searcher = Searcher(
             DeviceIndex.from_packed(packed_idx, value_dtype=value_dtype),
             SearchConfig(
                 topk=args.topk, mode=mode, theta=theta, rerank=True,
                 agip_topk=min(args.agip_topk, args.rows),
                 max_important_dims=48,
-                query_batch=args.queries, approx_candidates=False,
+                query_batch=args.queries, approx_candidates=approx,
+                candidate_slices=slices,
             ),
         )
         _, rows = searcher.search(qv, qi)
@@ -95,9 +97,15 @@ def main():
         "int8 planes": args.lex + args.cls + args.lex,
         f"PQ{args.pq_m} codes (stage 1)": args.pq_m,
     }
+    # stratified rows: on CPU approx_max_k falls back to exact per slice,
+    # so these isolate the slice-edge effect of the serving default
+    bytes_per_row["int8 + stratified S=8 candidates"] = (
+        bytes_per_row["int8 planes"])
     configs = {
         "f16/bf16 planes": lambda: run(packed, "gip", theta=0.3),
         "int8 planes": lambda: run(packed.quantize(), "gip", theta=0.3),
+        "int8 + stratified S=8 candidates": lambda: run(
+            packed.quantize(), "gip", theta=0.3, approx=True, slices=8),
         f"PQ{args.pq_m} codes (stage 1)": lambda: run(
             packed.quantize_pq(m=args.pq_m, iters=15), "pq"),
     }
