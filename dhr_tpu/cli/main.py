@@ -342,6 +342,42 @@ def cmd_encode(args):
     from dhr_tpu.data.collate import wrap_specials
 
     order = None
+    if getattr(args, "pack", False):
+        # token-level packing: several documents per row, block-diagonal
+        # attention; corpus side only (queries are near-uniform short)
+        if args.encode_is_qry:
+            raise SystemExit("--pack applies to corpus encode only")
+        if getattr(args, "length_bucketing", False):
+            raise SystemExit("--pack and --length-bucketing are exclusive")
+        if model_cfg.model_type not in ("dense", "dhr", "dlr"):
+            raise SystemExit(
+                f"--pack is not supported for {model_cfg.model_type}; use "
+                "--length-bucketing"
+            )
+        from dhr_tpu.encode import packed_encode_batches
+
+        _packed_gen, order = packed_encode_batches(
+            ids, texts, args.batch_size, max_len, args.pack_segments,
+            args.cls_token_id, args.sep_token_id,
+        )
+        packed = enc.encode_corpus_packed(_packed_gen)
+        values, indices, docids = (
+            packed.values, packed.indices, packed.docids
+        )
+        inv = np.argsort(order)
+        packed = dataclasses.replace(
+            packed,
+            values=values[inv],
+            indices=indices[inv] if indices is not None else None,
+            docids=docids[inv],
+        )
+        packed.save(args.output)
+        logger.info(
+            "encoded %d passages (packed, <=%d docs/row) -> %s",
+            packed.num_rows, args.pack_segments, args.output,
+        )
+        return
+
     if getattr(args, "length_bucketing", False):
         # sort-by-length batches padded to small bucket lengths: same reps
         # (masked positions), a fraction of the pad FLOPs on short-document
@@ -778,6 +814,8 @@ def cmd_beir(args):
             split=args.split, cls_id=args.cls_token_id,
             sep_id=args.sep_token_id,
             length_bucketing=getattr(args, "length_bucketing", False),
+            pack=getattr(args, "pack", False),
+            pack_segments=getattr(args, "pack_segments", 8),
         )
 
     if args.dataset_dir:
@@ -915,6 +953,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sort by length and pad each batch to a small "
                         "bucket length instead of max_len (same reps, "
                         "fewer pad FLOPs on short-document corpora)")
+    p.add_argument("--pack", action="store_true",
+                   help="token-level sequence packing: several documents "
+                        "share one p_max_len row under a block-diagonal "
+                        "attention mask (dense/dhr/dlr corpus encode; goes "
+                        "beyond --length-bucketing when documents are much "
+                        "shorter than p_max_len)")
+    p.add_argument("--pack-segments", type=int, default=8,
+                   help="max documents packed into one row")
     p.set_defaults(_subparser=p, fn=cmd_encode)
 
     p = sub.add_parser("densify")
@@ -1127,6 +1173,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bucketed variable-length encode batches (fewer pad "
                         "FLOPs; BEIR results are id-keyed so the length-sort "
                         "order never matters here)")
+    p.add_argument("--pack", action="store_true",
+                   help="token-level sequence packing for the corpus encode "
+                        "(dense/dhr/dlr; beats --length-bucketing on "
+                        "short-document corpora)")
+    p.add_argument("--pack-segments", type=int, default=8,
+                   help="max documents packed into one row")
     p.set_defaults(_subparser=p, fn=cmd_beir)
 
     return ap

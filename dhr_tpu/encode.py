@@ -62,6 +62,7 @@ class Encoder:
         self.params = params
         self._encode_query = self._build(role="query")
         self._encode_passage = self._build(role="passage")
+        self._encode_packed = None  # built lazily on first packed call
 
     def _build(self, role: str):
         cfg = self.cfg
@@ -128,6 +129,95 @@ class Encoder:
                 return jitted(self.params, input_ids, attention_mask)
 
         return encode
+
+    def _build_packed(self):
+        """Jitted program for token-packed rows (multiple docs per row)."""
+        cfg = self.cfg
+        ecfg = self.encode_cfg
+        if cfg.model_type not in ("dense", "dhr", "dlr"):
+            raise ValueError(
+                "packed encode supports dense/dhr/dlr, not "
+                f"{cfg.model_type} (agg needs per-segment vocab aggregation, "
+                "colbert needs one common L) — use --length-bucketing"
+            )
+
+        def run(params, input_ids, segment_ids, position_ids, seg_start):
+            vals, idxs, semantic = self.model.apply(
+                {"params": params},
+                input_ids, segment_ids, position_ids, seg_start,
+                cfg.dlr_out_dim, ecfg.remove_dims,
+                method="encode_passages_packed",
+            )
+            B, S = seg_start.shape
+            if cfg.model_type == "dense":
+                return vals.reshape(B * S, -1).astype(jnp.float16), None
+            if semantic is not None and cfg.combine_cls:
+                vals = jnp.concatenate(
+                    [vals, semantic.astype(vals.dtype)], axis=-1
+                )
+            return (
+                vals.reshape(B * S, -1).astype(jnp.float16),
+                idxs.reshape(B * S, -1).astype(jnp.uint8),
+            )
+
+        jitted = jax.jit(run)
+
+        if self.mesh is not None and self.mesh.size > 1:
+            sharding = row_sharded(self.mesh)
+
+            def encode(input_ids, segment_ids, position_ids, seg_start):
+                return jitted(
+                    self.params,
+                    jax.device_put(input_ids, sharding),
+                    jax.device_put(segment_ids, sharding),
+                    jax.device_put(position_ids, sharding),
+                    jax.device_put(seg_start, sharding),
+                )
+        else:
+            def encode(input_ids, segment_ids, position_ids, seg_start):
+                return jitted(self.params, input_ids, segment_ids,
+                              position_ids, seg_start)
+
+        return encode
+
+    def encode_corpus_packed(self, batches: Iterable[dict]) -> PackedIndex:
+        """Encode token-packed batches from :func:`packed_encode_batches`.
+
+        Each batch dict carries ``input_ids / segment_ids / position_ids /
+        seg_start`` arrays plus ``slot_ids`` (per-row document-id lists);
+        invalid (empty) slots are dropped here, so the returned index holds
+        exactly one row per document in plan order.
+        """
+        if self._encode_packed is None:
+            self._encode_packed = self._build_packed()
+        values_out, indices_out, ids_out = [], [], []
+        for batch in batches:
+            slot_ids = batch["slot_ids"]
+            seg_start = np.asarray(batch["seg_start"])
+            S = seg_start.shape[1]
+            vals, idxs = self._encode_packed(
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["segment_ids"]),
+                jnp.asarray(batch["position_ids"]),
+                jnp.asarray(seg_start),
+            )
+            valid = np.zeros(seg_start.shape, bool)
+            for r, sids in enumerate(slot_ids):
+                valid[r, : len(sids)] = True
+                ids_out.extend(sids)
+            valid = valid.reshape(-1)
+            values_out.append(np.asarray(vals)[valid])
+            if idxs is not None:
+                indices_out.append(np.asarray(idxs)[valid])
+        values = np.concatenate(values_out, axis=0)
+        indices = np.concatenate(indices_out, axis=0) if indices_out else None
+        lex = self.lex_dim if self.lex_dim > 0 else values.shape[1]
+        return PackedIndex(
+            values=values,
+            indices=indices,
+            docids=np.asarray([str(i) for i in ids_out], dtype=object),
+            lex_dim=lex,
+        )
 
     @property
     def lex_dim(self) -> int:
@@ -274,6 +364,124 @@ def bucketed_encode_batches(
                 [ids[i] for i in sel],
                 [wrap_specials(toks[i], blen, cls_id, sep_id) for i in sel],
                 blen,
+            )
+
+    return gen(), order
+
+
+def plan_packing(lengths, row_len: int, max_segments: int):
+    """First-fit-decreasing token packing over a length histogram.
+
+    Groups documents into rows of capacity ``row_len`` tokens with at most
+    ``max_segments`` documents per row.  Greedy: open a row, repeatedly add
+    the longest remaining document that still fits.  The histogram
+    formulation (at most ``row_len`` distinct lengths) keeps planning
+    O(n log row_len) — flat scans over an 8.8M-doc corpus, where a naive
+    first-fit over open bins would be quadratic.
+
+    Returns ``rows``: a list of rows, each a list of ORIGINAL item indices
+    in slot order.  Every item appears exactly once; items longer than
+    ``row_len`` are planned at ``row_len`` (they get a row to themselves and
+    are truncated at collate time, like the plain path's p_max_len cut).
+    """
+    import bisect
+
+    lengths = np.minimum(np.asarray(lengths, np.int64), row_len)
+    by_len: dict[int, list[int]] = {}
+    for i, l in enumerate(lengths.tolist()):
+        by_len.setdefault(l, []).append(i)
+    # FIFO per length keeps plan order stable in input order
+    heads = {l: 0 for l in by_len}
+    avail = sorted(by_len)  # ascending distinct lengths with items left
+    rows = []
+    while avail:
+        cap = row_len
+        row = []
+        while len(row) < max_segments:
+            j = bisect.bisect_right(avail, cap) - 1
+            if j < 0:
+                break
+            l = avail[j]
+            q = by_len[l]
+            row.append(q[heads[l]])
+            heads[l] += 1
+            if heads[l] == len(q):
+                avail.pop(j)
+            cap -= l
+        rows.append(row)
+    return rows
+
+
+def collate_packed(
+    rows, ids, toks, batch_rows: int, row_len: int, max_segments: int,
+    cls_id: int | None, sep_id: int | None,
+):
+    """Build one packed batch from planner rows (fixed (B, L)/(B, S) shapes).
+
+    Emits ``input_ids`` / ``segment_ids`` (1..S, 0 = pad) / ``position_ids``
+    (restarting at 0 per segment) / ``seg_start`` (each slot's first token
+    position) plus ``slot_ids`` — the document ids occupying each row's
+    slots.  Rows beyond ``len(rows)`` are left fully padded so every batch
+    compiles to the same program.
+    """
+    from dhr_tpu.data.collate import wrap_specials
+
+    input_ids = np.zeros((batch_rows, row_len), np.int32)
+    segment_ids = np.zeros((batch_rows, row_len), np.int32)
+    position_ids = np.zeros((batch_rows, row_len), np.int32)
+    seg_start = np.zeros((batch_rows, max_segments), np.int32)
+    slot_ids = []
+    for r, row in enumerate(rows):
+        off = 0
+        sids = []
+        for s, item in enumerate(row):
+            t = wrap_specials(toks[item], row_len - off, cls_id, sep_id)
+            n = len(t)
+            input_ids[r, off:off + n] = t
+            segment_ids[r, off:off + n] = s + 1
+            position_ids[r, off:off + n] = np.arange(n)
+            seg_start[r, s] = off
+            sids.append(ids[item])
+            off += n
+        slot_ids.append(sids)
+    while len(slot_ids) < batch_rows:
+        slot_ids.append([])
+    return {
+        "input_ids": input_ids,
+        "segment_ids": segment_ids,
+        "position_ids": position_ids,
+        "seg_start": seg_start,
+        "slot_ids": slot_ids,
+    }
+
+
+def packed_encode_batches(
+    ids, toks, batch_rows: int, row_len: int, max_segments: int,
+    cls_id: int | None, sep_id: int | None,
+):
+    """Token-packed encode batches over pre-tokenized texts (no specials).
+
+    Several documents share one transformer row under a block-diagonal
+    attention mask and per-segment position ids, so pad FLOPs drop to the
+    row-fill slack instead of the per-document pad — the step beyond
+    ``bucketed_encode_batches`` for short-document corpora at large
+    p_max_len (the reference pads one document per row,
+    driver/encode.py via p_max_len).
+
+    Returns ``(batches, order)`` like the bucketed twin: a generator of
+    :func:`collate_packed` batches and the document order they emit
+    (outputs restore to input order via ``np.argsort(order)``).
+    """
+    rows = plan_packing(
+        [len(t) + 2 for t in toks], row_len, max_segments
+    )
+    order = np.asarray([i for row in rows for i in row])
+
+    def gen():
+        for start in range(0, len(rows), batch_rows):
+            yield collate_packed(
+                rows[start:start + batch_rows], ids, toks,
+                batch_rows, row_len, max_segments, cls_id, sep_id,
             )
 
     return gen(), order

@@ -162,6 +162,8 @@ def evaluate_beir(
     mesh=None,
     k_values=(10, 100),
     length_bucketing: bool = False,
+    pack: bool = False,
+    pack_segments: int = 8,
 ) -> dict:
     """End-to-end BEIR eval for one dataset directory.
 
@@ -172,10 +174,27 @@ def evaluate_beir(
 
     corpus, queries, qrels = load_beir_dir(dataset_dir, split)
     bs = encoder.encode_cfg.batch_size
-    packed = encoder.encode_corpus(
-        _tokenize_batches(corpus, tokenizer, p_max_len, bs, cls_id, sep_id,
-                          length_bucketing=length_bucketing)
-    )
+    if pack:
+        # token-level packing beats bucketing when documents are much
+        # shorter than p_max_len; corpus order is id-keyed downstream, so
+        # the plan order never matters here
+        from dhr_tpu.encode import packed_encode_batches
+
+        doc_ids = list(corpus.keys())
+        toks = [
+            tokenizer.encode(corpus[i], add_special_tokens=False,
+                             max_length=p_max_len, truncation=True)
+            for i in doc_ids
+        ]
+        gen, _ = packed_encode_batches(
+            doc_ids, toks, bs, p_max_len, pack_segments, cls_id, sep_id
+        )
+        packed = encoder.encode_corpus_packed(gen)
+    else:
+        packed = encoder.encode_corpus(
+            _tokenize_batches(corpus, tokenizer, p_max_len, bs, cls_id,
+                              sep_id, length_bucketing=length_bucketing)
+        )
     qv, qi, qids = encoder.encode_queries(
         _tokenize_batches(queries, tokenizer, q_max_len, bs, cls_id, sep_id,
                           length_bucketing=length_bucketing)

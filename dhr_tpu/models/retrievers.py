@@ -177,6 +177,118 @@ class RetrieverEncoder(nn.Module):
             semantic = self.pooler(cls_hidden).astype(jnp.float32)
         return Reps(lexical=lexical, semantic=semantic)
 
+    # ---- packed encode (multiple documents per row) ------------------------
+    def encode_packed(
+        self,
+        input_ids,
+        segment_ids,
+        position_ids,
+        seg_start,
+        out_dim: int = 768,
+        remove_dims: int = 570,
+        deterministic: bool = True,
+    ):
+        """Encode rows that PACK several documents each (token-level packing).
+
+        Inputs are the packed layout produced by
+        :func:`dhr_tpu.encode.packed_encode_batches`: ``segment_ids`` (B, L)
+        labels each token with its document slot in ``1..S`` (0 = pad),
+        ``position_ids`` restart at 0 per segment, and ``seg_start`` (B, S)
+        holds each slot's first token position.  Attention is block-diagonal
+        over segments, so every document sees exactly the context it would
+        see in its own padded row — the packing trick standard in TPU LLM
+        pipelines, applied to the encode path the reference pads one
+        document per row (reference driver/encode.py via p_max_len).
+
+        Returns per-slot arrays with leading shape ``(B, S)``:
+
+        - dense: ``(pooled, None, None)``
+        - dhr/dlr: ``(values, fold_indices, semantic)`` — the
+          densified lexical rep computed TWO-LEVEL: per-token densify (fold
+          max over vocab), then a per-segment max over tokens.  Values are
+          exactly the plain path's (max commutes with fold-max); the fold
+          index deviates from the plain path only on exact float ties
+          between different folds across tokens (plain resolves fold-first,
+          packed token-first) and both emit fold 0 for all-zero slices.
+          Out-of-segment positions contribute exact zeros to the segment
+          max, reproducing the plain path's zero floor from masked pad
+          positions (reference DHR/modeling.py:330-345 masks pads to 0
+          before the max) for every document shorter than the row.
+
+        agg needs per-segment vocab-space aggregation (a (B, S, V)
+        intermediate) and colbert needs one common L — both raise.
+        """
+        cfg = self.cfg
+        if cfg.model_type not in ("dense", "dhr", "dlr"):
+            raise ValueError(
+                f"packed encode supports dense/dhr/dlr, not {cfg.model_type}"
+            )
+        attn = (segment_ids > 0).astype(jnp.int32)
+        if cfg.needs_mlm:
+            hidden, logits = self.backbone(
+                input_ids, attn, deterministic=deterministic,
+                position_ids=position_ids, segment_ids=segment_ids,
+            )
+        else:
+            hidden = self.backbone(
+                input_ids, attn, deterministic=deterministic,
+                position_ids=position_ids, segment_ids=segment_ids,
+            )
+        S = seg_start.shape[1]
+
+        if cfg.model_type == "dense":
+            if cfg.pooling == "mean":
+                seg_range = jnp.arange(1, S + 1)
+                onehot = (
+                    segment_ids[:, None, :] == seg_range[None, :, None]
+                ).astype(hidden.dtype)  # (B, S, L)
+                pooled = jnp.einsum("bsl,blh->bsh", onehot, hidden)
+                pooled = pooled / jnp.maximum(
+                    jnp.sum(onehot, axis=-1)[..., None], 1.0
+                )
+            else:
+                pooled = jnp.take_along_axis(
+                    hidden, seg_start[:, :, None], axis=1
+                )
+            if self._use_pooler:
+                pooled = self.pooler(pooled)
+            return pooled.astype(jnp.float32), None, None
+
+        # dhr / dlr: per-token softmax x term-weight, densified per token,
+        # then segment-max over tokens.  The (B, L, V) weighted plane fuses
+        # into the vocab matmul's consumer; only (B, L, out_dim) val/idx
+        # planes materialize (the barrier keeps XLA from re-running the
+        # vocab matmul once per segment reduce).
+        from dhr_tpu.ops.densify import densify
+
+        tw = self.term_weight(hidden)  # (B, L, 1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        token_ok = (
+            (segment_ids > 0) & (position_ids > 0)
+        )[..., None]  # exclude pads and each segment's own [CLS] row
+        weighted = probs * tw.astype(jnp.float32) * token_ok.astype(jnp.float32)
+        tok_vals, tok_idx = densify(weighted, out_dim, remove_dims)
+        tok_vals, tok_idx = jax.lax.optimization_barrier((tok_vals, tok_idx))
+
+        vals_list, idx_list = [], []
+        for s in range(S):
+            m = (
+                (segment_ids == (s + 1)) & (position_ids > 0)
+            )[..., None]  # (B, L, 1)
+            mv = jnp.where(m, tok_vals, 0.0)
+            mi = jnp.where(m, tok_idx, 0)
+            win = jnp.argmax(mv, axis=1)  # (B, out_dim) winner token position
+            vals_list.append(jnp.max(mv, axis=1))
+            idx_list.append(
+                jnp.take_along_axis(mi, win[:, None, :], axis=1)[:, 0]
+            )
+        vals = jnp.stack(vals_list, axis=1)  # (B, S, out_dim)
+        idxs = jnp.stack(idx_list, axis=1)
+
+        cls_h = jnp.take_along_axis(hidden, seg_start[:, :, None], axis=1)
+        semantic = self.pooler(cls_h) if self._use_pooler else cls_h
+        return vals, idxs, semantic.astype(jnp.float32)
+
     # ---- colbert -----------------------------------------------------------
     def _colbert_reps(self, hidden, attention_mask, is_query) -> Reps:
         reps = self.pooler(hidden)
@@ -221,3 +333,14 @@ class BiEncoder(nn.Module):
                 is_query=False, deterministic=deterministic,
             )
         return q_reps, p_reps
+
+    def encode_passages_packed(
+        self, input_ids, segment_ids, position_ids, seg_start,
+        out_dim: int = 768, remove_dims: int = 570, deterministic: bool = True,
+    ):
+        """Packed-row passage encode (see RetrieverEncoder.encode_packed)."""
+        return self.encoder_p.encode_packed(
+            input_ids, segment_ids, position_ids, seg_start,
+            out_dim=out_dim, remove_dims=remove_dims,
+            deterministic=deterministic,
+        )

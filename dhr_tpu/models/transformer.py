@@ -79,10 +79,12 @@ class Embeddings(nn.Module):
         self.layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype)
         self.dropout = nn.Dropout(cfg.hidden_dropout)
 
-    def __call__(self, input_ids, token_type_ids=None, deterministic=True):
+    def __call__(self, input_ids, token_type_ids=None, deterministic=True,
+                 position_ids=None):
         cfg = self.cfg
-        pos_ids = jnp.arange(input_ids.shape[-1])[None, :]
-        x = self.word(input_ids) + self.position(pos_ids)
+        if position_ids is None:
+            position_ids = jnp.arange(input_ids.shape[-1])[None, :]
+        x = self.word(input_ids) + self.position(position_ids)
         if cfg.type_vocab_size > 0:
             if token_type_ids is None:
                 token_type_ids = jnp.zeros_like(input_ids)
@@ -150,13 +152,26 @@ class TransformerEncoder(nn.Module):
         ]
 
     def __call__(self, input_ids, attention_mask, token_type_ids=None,
-                 deterministic=True):
+                 deterministic=True, position_ids=None, segment_ids=None):
         cfg = self.cfg
-        x = self.embeddings(input_ids, token_type_ids, deterministic)
-        # additive attention bias: 0 where attended, large negative where masked
-        bias = jnp.where(
-            attention_mask[:, None, None, :] > 0, 0.0, -1e9
-        ).astype(cfg.dtype)
+        x = self.embeddings(input_ids, token_type_ids, deterministic,
+                            position_ids=position_ids)
+        if segment_ids is not None:
+            # packed rows: block-diagonal attention — token q attends to k
+            # iff both belong to the same (nonzero) segment.  Pad rows
+            # (segment 0) see only -1e9 scores; max-subtracted softmax turns
+            # those into uniform junk that downstream masks drop.
+            allowed = (
+                segment_ids[:, :, None] == segment_ids[:, None, :]
+            ) & (segment_ids[:, None, :] > 0)
+            bias = jnp.where(
+                allowed[:, None, :, :], 0.0, -1e9
+            ).astype(cfg.dtype)
+        else:
+            # additive attention bias: 0 where attended, -1e9 where masked
+            bias = jnp.where(
+                attention_mask[:, None, None, :] > 0, 0.0, -1e9
+            ).astype(cfg.dtype)
         for layer in self.layers:
             x = layer(x, bias, deterministic)
         return x
@@ -209,9 +224,10 @@ class EncoderWithMLM(nn.Module):
         self.mlm = MLMHead(self.cfg)
 
     def __call__(self, input_ids, attention_mask, token_type_ids=None,
-                 deterministic=True):
+                 deterministic=True, position_ids=None, segment_ids=None):
         hidden = self.encoder(
-            input_ids, attention_mask, token_type_ids, deterministic
+            input_ids, attention_mask, token_type_ids, deterministic,
+            position_ids=position_ids, segment_ids=segment_ids,
         )
         shared = (
             self.encoder.word_embedding_table if self.tie_word_embeddings else None

@@ -221,3 +221,20 @@ def test_evaluate_beir_length_bucketing_same_metrics(tmp_path):
                              length_bucketing=True)
     for k in ("NDCG@10", "Recall@10", "R_cap@10", "NDCG@100", "num_queries"):
         assert bucketed[k] == pytest.approx(plain[k], abs=1e-6), k
+
+
+def test_evaluate_beir_pack_same_metrics(tmp_path):
+    """Token-packed corpus encode gives the same id-keyed BEIR metrics."""
+    d = str(tmp_path)
+    write_beir_dataset(d)
+    model, params, cfg = tiny_model("dhr")
+    enc = Encoder(model, params, cfg,
+                  EncodeConfig(batch_size=8, remove_dims=6))
+    scfg = SearchConfig(topk=10, mode="gip", query_batch=8)
+    plain = evaluate_beir(enc, scfg, d, FakeTokenizer(),
+                          q_max_len=8, p_max_len=12, cls_id=1)
+    packed = evaluate_beir(enc, scfg, d, FakeTokenizer(),
+                           q_max_len=8, p_max_len=12, cls_id=1,
+                           pack=True, pack_segments=3)
+    for k in ("NDCG@10", "Recall@10", "R_cap@10", "NDCG@100", "num_queries"):
+        assert packed[k] == pytest.approx(plain[k], abs=1e-6), k

@@ -1,0 +1,164 @@
+"""Token-level sequence packing: planner invariants + parity vs plain encode.
+
+The packed path must reproduce the plain pad-to-max_len reps document for
+document (reference pads one document per row, driver/encode.py via
+p_max_len); values match to f32 rounding (XLA reduction-tree grouping shifts
+with the document's offset in the row) and densify fold indices match except
+on float near-ties.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhr_tpu.data.collate import collate_encode, wrap_specials
+from dhr_tpu.encode import (
+    EncodeConfig,
+    Encoder,
+    packed_encode_batches,
+    plan_packing,
+)
+from dhr_tpu.models.retrievers import BiEncoder, RetrieverConfig
+from dhr_tpu.models.transformer import EncoderConfig
+
+VOCAB = 70
+ROW_LEN = 40
+CLS, SEP = 1, 0
+
+
+def test_plan_packing_invariants(rng):
+    lengths = rng.integers(3, 55, 200).tolist()  # some exceed ROW_LEN
+    rows = plan_packing(lengths, ROW_LEN, max_segments=4)
+    seen = [i for row in rows for i in row]
+    assert sorted(seen) == list(range(200))  # every item exactly once
+    for row in rows:
+        assert 1 <= len(row) <= 4
+        assert sum(min(lengths[i], ROW_LEN) for i in row) <= ROW_LEN
+    # packing actually packs: far fewer rows than items
+    assert len(rows) < 200
+
+
+def test_plan_packing_respects_segment_cap(rng):
+    rows = plan_packing([2] * 64, 100, max_segments=3)
+    assert all(len(r) == 3 for r in rows[:-1])
+
+
+def _make_model(model_type, pooling="cls", add_pooler=False):
+    cfg = RetrieverConfig(
+        model_type=model_type,
+        encoder=EncoderConfig.tiny(vocab_size=VOCAB, dtype=jnp.float32),
+        add_pooler=add_pooler,
+        projection_dim=4,
+        dlr_out_dim=8,
+        pooling=pooling,
+    )
+    model = BiEncoder(cfg)
+    b = {
+        "input_ids": jnp.zeros((2, 8), jnp.int32),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), query=b, passage=b)["params"]
+    return model, params, cfg
+
+
+def _corpus(rng, n=22):
+    ids = [f"d{i}" for i in range(n)]
+    toks = [
+        rng.integers(2, VOCAB, int(rng.integers(3, ROW_LEN - 4))).tolist()
+        for _ in range(n)
+    ]
+    return ids, toks
+
+
+def _plain_batches(ids, toks, bs, max_len):
+    for start in range(0, len(ids), bs):
+        chunk = ids[start:start + bs]
+        wrapped = [
+            wrap_specials(t, max_len, CLS, SEP)
+            for t in toks[start:start + bs]
+        ]
+        yield collate_encode(chunk, wrapped, max_len)
+
+
+def _packed_vs_plain(model_type, rng, pooling="cls", add_pooler=False):
+    model, params, cfg = _make_model(model_type, pooling, add_pooler)
+    enc = Encoder(model, params, cfg, EncodeConfig(batch_size=4, remove_dims=6))
+    ids, toks = _corpus(rng)
+
+    plain = enc.encode_corpus(_plain_batches(ids, toks, 4, ROW_LEN))
+    gen, order = packed_encode_batches(ids, toks, 4, ROW_LEN, 4, CLS, SEP)
+    packed = enc.encode_corpus_packed(gen)
+
+    inv = np.argsort(order)
+    assert list(packed.docids[inv]) == list(plain.docids)
+    np.testing.assert_allclose(
+        np.asarray(packed.values, np.float32)[inv],
+        np.asarray(plain.values, np.float32),
+        atol=2e-4, rtol=1e-3,
+    )
+    if plain.indices is not None:
+        assert (packed.indices[inv] == plain.indices).mean() > 0.98
+
+
+def test_packed_matches_plain_dhr(rng):
+    _packed_vs_plain("dhr", rng, add_pooler=True)
+
+
+def test_packed_matches_plain_dlr(rng):
+    _packed_vs_plain("dlr", rng)
+
+
+def test_packed_matches_plain_dense_cls(rng):
+    _packed_vs_plain("dense", rng, pooling="cls")
+
+
+def test_packed_matches_plain_dense_mean(rng):
+    _packed_vs_plain("dense", rng, pooling="mean")
+
+
+def test_packed_rejects_agg(rng):
+    model, params, cfg = _make_model("agg")
+    enc = Encoder(model, params, cfg, EncodeConfig(batch_size=4, remove_dims=6))
+    ids, toks = _corpus(rng, n=4)
+    gen, _ = packed_encode_batches(ids, toks, 4, ROW_LEN, 4, CLS, SEP)
+    try:
+        enc.encode_corpus_packed(gen)
+    except ValueError as e:
+        assert "packed encode" in str(e)
+    else:
+        raise AssertionError("agg packed encode should raise")
+
+
+def test_cli_encode_pack_matches_plain(tmp_path, rng):
+    """`encode --pack`: same reps/docids as the pad-to-max path."""
+    from dhr_tpu.cli.main import main
+    from dhr_tpu.data.examples import write_jsonl
+    from dhr_tpu.retrieval import PackedIndex
+
+    corpus_rows = [
+        {"text_id": f"d{i}",
+         "text": rng.integers(2, VOCAB, int(rng.integers(3, 36))).tolist()}
+        for i in range(20)
+    ]
+    corpus_path = str(tmp_path / "corpus.jsonl")
+    write_jsonl(corpus_path, corpus_rows)
+
+    common = ["--model", "dhr", "--tiny", "--tiny-vocab", str(VOCAB),
+              "--add-pooler", "--projection-dim", "4",
+              "--dlr-out-dim", "8", "--remove-dims", "6",
+              "--cls-token-id", "1", "--sep-token-id", "0",
+              "--q-max-len", "6", "--p-max-len", str(ROW_LEN),
+              "--input", corpus_path, "--batch-size", "4"]
+    plain, packed = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    main(["encode", *common, "--output", plain])
+    main(["encode", *common, "--output", packed, "--pack",
+          "--pack-segments", "4"])
+
+    a, b = PackedIndex.load(plain), PackedIndex.load(packed)
+    assert list(a.docids) == list(b.docids)
+    np.testing.assert_allclose(np.asarray(b.values, np.float32),
+                               np.asarray(a.values, np.float32),
+                               atol=2e-3, rtol=2e-2)
+    assert (a.indices == b.indices).mean() > 0.98
