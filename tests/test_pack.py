@@ -131,6 +131,34 @@ def test_packed_rejects_agg(rng):
         raise AssertionError("agg packed encode should raise")
 
 
+def test_packed_mesh_encode_matches_single_device(rng, eight_devices):
+    """Mesh-DP packed encode (rows sharded over devices) == single-device."""
+    from dhr_tpu.parallel import make_mesh
+
+    model, params, cfg = _make_model("dhr", add_pooler=True)
+    ids, toks = _corpus(rng, n=30)
+
+    enc1 = Encoder(model, params, cfg, EncodeConfig(batch_size=8, remove_dims=6))
+    gen1, order1 = packed_encode_batches(ids, toks, 8, ROW_LEN, 4, CLS, SEP)
+    p1 = enc1.encode_corpus_packed(gen1)
+
+    mesh = make_mesh(eight_devices, axis="data")
+    enc8 = Encoder(model, params, cfg,
+                   EncodeConfig(batch_size=8, remove_dims=6), mesh=mesh)
+    gen8, order8 = packed_encode_batches(ids, toks, 8, ROW_LEN, 4, CLS, SEP)
+    p8 = enc8.encode_corpus_packed(gen8)
+
+    np.testing.assert_array_equal(order1, order8)
+    assert list(p1.docids) == list(p8.docids)
+    # the sharded program may group f32 reductions differently, moving the
+    # final f16 rounding by one ulp on a handful of entries
+    np.testing.assert_allclose(
+        np.asarray(p1.values, np.float32), np.asarray(p8.values, np.float32),
+        atol=1e-3, rtol=0,
+    )
+    assert (p1.indices == p8.indices).mean() > 0.98
+
+
 def test_cli_encode_pack_matches_plain(tmp_path, rng):
     """`encode --pack`: same reps/docids as the pad-to-max path."""
     from dhr_tpu.cli.main import main
