@@ -349,7 +349,7 @@ def cmd_encode(args):
             raise SystemExit("--pack applies to corpus encode only")
         if getattr(args, "length_bucketing", False):
             raise SystemExit("--pack and --length-bucketing are exclusive")
-        if model_cfg.model_type not in ("dense", "dhr", "dlr"):
+        if model_cfg.model_type not in ("dense", "dhr", "dlr", "agg"):
             raise SystemExit(
                 f"--pack is not supported for {model_cfg.model_type}; use "
                 "--length-bucketing"
@@ -956,9 +956,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack", action="store_true",
                    help="token-level sequence packing: several documents "
                         "share one p_max_len row under a block-diagonal "
-                        "attention mask (dense/dhr/dlr corpus encode; goes "
-                        "beyond --length-bucketing when documents are much "
-                        "shorter than p_max_len)")
+                        "attention mask (dense/dhr/dlr/agg corpus encode; "
+                        "goes beyond --length-bucketing when documents are "
+                        "much shorter than p_max_len)")
     p.add_argument("--pack-segments", type=int, default=8,
                    help="max documents packed into one row")
     p.set_defaults(_subparser=p, fn=cmd_encode)
@@ -1175,7 +1175,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "order never matters here)")
     p.add_argument("--pack", action="store_true",
                    help="token-level sequence packing for the corpus encode "
-                        "(dense/dhr/dlr; beats --length-bucketing on "
+                        "(dense/dhr/dlr/agg; beats --length-bucketing on "
                         "short-document corpora)")
     p.add_argument("--pack-segments", type=int, default=8,
                    help="max documents packed into one row")

@@ -134,11 +134,11 @@ class Encoder:
         """Jitted program for token-packed rows (multiple docs per row)."""
         cfg = self.cfg
         ecfg = self.encode_cfg
-        if cfg.model_type not in ("dense", "dhr", "dlr"):
+        if cfg.model_type not in ("dense", "dhr", "dlr", "agg"):
             raise ValueError(
-                "packed encode supports dense/dhr/dlr, not "
-                f"{cfg.model_type} (agg needs per-segment vocab aggregation, "
-                "colbert needs one common L) — use --length-bucketing"
+                "packed encode supports dense/dhr/dlr/agg, not "
+                f"{cfg.model_type} (colbert needs one common L per "
+                "document) — use --length-bucketing"
             )
 
         def run(params, input_ids, segment_ids, position_ids, seg_start):
@@ -150,6 +150,10 @@ class Encoder:
             )
             B, S = seg_start.shape
             if cfg.model_type == "dense":
+                return vals.reshape(B * S, -1).astype(jnp.float16), None
+            if cfg.model_type == "agg":
+                if semantic is not None:
+                    vals = merge_reps(vals, semantic)
                 return vals.reshape(B * S, -1).astype(jnp.float16), None
             if semantic is not None and cfg.combine_cls:
                 vals = jnp.concatenate(

@@ -215,13 +215,21 @@ class RetrieverEncoder(nn.Module):
           positions (reference DHR/modeling.py:330-345 masks pads to 0
           before the max) for every document shorter than the row.
 
-        agg needs per-segment vocab-space aggregation (a (B, S, V)
-        intermediate) and colbert needs one common L — both raise.
+        - agg: ``(merged_or_lexical, None, semantic_or_None)`` — the fold
+          commutes with the token max, so the MLM variant folds each token's
+          vocab plane first (``aggregate(..., full=False)`` at the full-mode
+          width) and segment-maxes the folded planes; skip-MLM scatter-maxes
+          term weights into a per-segment ``(B, S, V)`` plane.  Sign
+          competition (full mode) runs after the segment max, exactly where
+          the plain path runs it after its token max
+          (reference tevatron/Aggretriever/utils.py:8-44).
+
+        colbert needs one common L per document and raises.
         """
         cfg = self.cfg
-        if cfg.model_type not in ("dense", "dhr", "dlr"):
+        if cfg.model_type not in ("dense", "dhr", "dlr", "agg"):
             raise ValueError(
-                f"packed encode supports dense/dhr/dlr, not {cfg.model_type}"
+                f"packed encode supports dense/dhr/dlr/agg, not {cfg.model_type}"
             )
         attn = (segment_ids > 0).astype(jnp.int32)
         if cfg.needs_mlm:
@@ -234,6 +242,7 @@ class RetrieverEncoder(nn.Module):
                 input_ids, attn, deterministic=deterministic,
                 position_ids=position_ids, segment_ids=segment_ids,
             )
+            logits = None
         S = seg_start.shape[1]
 
         if cfg.model_type == "dense":
@@ -253,6 +262,12 @@ class RetrieverEncoder(nn.Module):
             if self._use_pooler:
                 pooled = self.pooler(pooled)
             return pooled.astype(jnp.float32), None, None
+
+        if cfg.model_type == "agg":
+            return self._agg_packed(
+                hidden, logits, input_ids, segment_ids, position_ids,
+                seg_start,
+            )
 
         # dhr / dlr: per-token softmax x term-weight, densified per token,
         # then segment-max over tokens.  The (B, L, V) weighted plane fuses
@@ -288,6 +303,70 @@ class RetrieverEncoder(nn.Module):
         cls_h = jnp.take_along_axis(hidden, seg_start[:, :, None], axis=1)
         semantic = self.pooler(cls_h) if self._use_pooler else cls_h
         return vals, idxs, semantic.astype(jnp.float32)
+
+    def _agg_packed(self, hidden, logits, input_ids, segment_ids,
+                    position_ids, seg_start):
+        """Aggretriever packed encode: per-segment fold-max + sign competition.
+
+        Fold-max over the vocab commutes with the max over a segment's
+        tokens, so the MLM variant never materializes a per-segment (B, S, V)
+        plane: each token's weighted vocab distribution folds to the
+        aggregation width first (fusing into the vocab matmul's consumer,
+        like the plain path), then a masked max over the segment's tokens
+        reduces (B, L, width) -> (B, S, width).  Sign competition (full
+        mode) runs after that reduce — the same point in the chain as the
+        plain path (reference tevatron/Aggretriever/utils.py:8-44, applied
+        after the token max of modeling.py:268-284).  skip-MLM scatter-maxes
+        term weights into (B, S, V) (62 MB at B=64, V=30k — fine in HBM)
+        and folds that.  Zero-floor semantics match the packed dhr path:
+        out-of-segment positions contribute exact zeros, reproducing the
+        plain path's masked-pad floor for every document shorter than its
+        row.
+        """
+        from dhr_tpu.ops.aggregate import aggregate
+
+        cfg = self.cfg
+        S = seg_start.shape[1]
+        width = cfg.agg_dim if cfg.semi_aggregate else 2 * cfg.agg_dim
+        token_ok = (segment_ids > 0) & (position_ids > 0)  # (B, L)
+        tw = self.term_weight(hidden)  # (B, L, 1)
+
+        if cfg.needs_mlm:
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            weighted = (
+                probs * tw.astype(jnp.float32)
+                * token_ok[..., None].astype(jnp.float32)
+            )
+            tok_folded = aggregate(weighted, width, full=False)  # (B, L, W)
+            tok_folded = jax.lax.optimization_barrier(tok_folded)
+            vals_list = []
+            for s in range(S):
+                m = (segment_ids == (s + 1))[..., None]
+                vals_list.append(
+                    jnp.max(jnp.where(m & token_ok[..., None], tok_folded, 0.0),
+                            axis=1)
+                )
+            tok = jnp.stack(vals_list, axis=1)  # (B, S, W)
+        else:
+            B, L = input_ids.shape
+            V = cfg.encoder.vocab_size
+            lex = jnp.zeros((B, S, V), jnp.float32)
+            b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
+            seg_idx = jnp.clip(segment_ids - 1, 0, S - 1)
+            # pads/CLS scatter value 0 — a no-op against the zero init
+            val = jnp.where(token_ok, tw[..., 0].astype(jnp.float32), 0.0)
+            lex = lex.at[b_idx, seg_idx, input_ids].max(val)
+            tok = aggregate(lex, width, full=False)  # (B, S, W)
+
+        if not cfg.semi_aggregate:
+            pos_l, neg_l = tok[..., 0::2], tok[..., 1::2]
+            tok = jnp.where(pos_l > neg_l, pos_l, -neg_l)
+
+        semantic = None
+        if self._use_pooler:
+            cls_h = jnp.take_along_axis(hidden, seg_start[:, :, None], axis=1)
+            semantic = self.pooler(cls_h).astype(jnp.float32)
+        return tok, None, semantic
 
     # ---- colbert -----------------------------------------------------------
     def _colbert_reps(self, hidden, attention_mask, is_query) -> Reps:

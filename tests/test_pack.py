@@ -45,7 +45,7 @@ def test_plan_packing_respects_segment_cap(rng):
     assert all(len(r) == 3 for r in rows[:-1])
 
 
-def _make_model(model_type, pooling="cls", add_pooler=False):
+def _make_model(model_type, pooling="cls", add_pooler=False, **extra):
     cfg = RetrieverConfig(
         model_type=model_type,
         encoder=EncoderConfig.tiny(vocab_size=VOCAB, dtype=jnp.float32),
@@ -53,6 +53,7 @@ def _make_model(model_type, pooling="cls", add_pooler=False):
         projection_dim=4,
         dlr_out_dim=8,
         pooling=pooling,
+        **extra,
     )
     model = BiEncoder(cfg)
     b = {
@@ -82,8 +83,9 @@ def _plain_batches(ids, toks, bs, max_len):
         yield collate_encode(chunk, wrapped, max_len)
 
 
-def _packed_vs_plain(model_type, rng, pooling="cls", add_pooler=False):
-    model, params, cfg = _make_model(model_type, pooling, add_pooler)
+def _packed_vs_plain(model_type, rng, pooling="cls", add_pooler=False,
+                     **extra):
+    model, params, cfg = _make_model(model_type, pooling, add_pooler, **extra)
     enc = Encoder(model, params, cfg, EncodeConfig(batch_size=4, remove_dims=6))
     ids, toks = _corpus(rng)
 
@@ -118,8 +120,20 @@ def test_packed_matches_plain_dense_mean(rng):
     _packed_vs_plain("dense", rng, pooling="mean")
 
 
-def test_packed_rejects_agg(rng):
-    model, params, cfg = _make_model("agg")
+def test_packed_matches_plain_agg_full(rng):
+    _packed_vs_plain("agg", rng, add_pooler=True, agg_dim=8)
+
+
+def test_packed_matches_plain_agg_semi(rng):
+    _packed_vs_plain("agg", rng, agg_dim=8, semi_aggregate=True)
+
+
+def test_packed_matches_plain_agg_skip_mlm(rng):
+    _packed_vs_plain("agg", rng, add_pooler=True, agg_dim=8, skip_mlm=True)
+
+
+def test_packed_rejects_colbert(rng):
+    model, params, cfg = _make_model("colbert")
     enc = Encoder(model, params, cfg, EncodeConfig(batch_size=4, remove_dims=6))
     ids, toks = _corpus(rng, n=4)
     gen, _ = packed_encode_batches(ids, toks, 4, ROW_LEN, 4, CLS, SEP)
@@ -128,7 +142,7 @@ def test_packed_rejects_agg(rng):
     except ValueError as e:
         assert "packed encode" in str(e)
     else:
-        raise AssertionError("agg packed encode should raise")
+        raise AssertionError("colbert packed encode should raise")
 
 
 def test_packed_mesh_encode_matches_single_device(rng, eight_devices):
