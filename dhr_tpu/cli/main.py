@@ -272,6 +272,9 @@ def cmd_train(args):
             profile_dir=args.profile_dir,
             metrics_path=args.metrics_path,
             rng_impl=args.rng_impl,
+            pack_passages=args.pack_passages,
+            pack_segments=args.train_pack_segments,
+            pack_rows=args.pack_rows,
         ),
         groups,
         SamplingConfig(
@@ -924,6 +927,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="distill from an in-graph ColBERT teacher")
     p.add_argument("--teacher-path", default=None,
                    help="HF checkpoint dir for the ColBERT teacher")
+    p.add_argument("--pack-passages", action="store_true",
+                   help="token-pack the passage tower (several passages per "
+                        "p_max_len row, block-diagonal attention): cuts the "
+                        "pad FLOPs of sub-p_max_len passages "
+                        "(dense/dhr/dlr/agg; not with --grad-cache/--tct)")
+    p.add_argument("--train-pack-segments", type=int, default=4,
+                   help="max passages packed into one training row")
+    p.add_argument("--pack-rows", type=int, default=None,
+                   help="packed passage rows per step (default: auto-sized "
+                        "from the first batch's plan +12.5%% headroom)")
     p.add_argument("--grad-cache", action="store_true")
     p.add_argument("--gc-q-chunks", type=int, default=4,
                    help="number of query chunks per grad-cache step (the "

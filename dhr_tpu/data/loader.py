@@ -14,7 +14,7 @@ from collections.abc import Iterator
 
 import numpy as np
 
-from dhr_tpu.data.collate import collate_train
+from dhr_tpu.data.collate import collate_train, collate_train_packed
 from dhr_tpu.data.sampling import (
     SamplingConfig,
     TASBSampler,
@@ -42,6 +42,10 @@ class TrainLoader:
         pad_id: int = 0,
         drop_last: bool = True,
         prefetch: int = 4,
+        pack_passages: bool = False,
+        pack_segments: int = 4,
+        pack_rows: int | None = None,
+        pack_rows_multiple: int = 1,
     ):
         self.groups = groups
         self.cfg = cfg
@@ -53,6 +57,14 @@ class TrainLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.global_step = 0
+        # token-packed passage tower: pack_rows None = auto-size from the
+        # first batch's plan (+12.5% headroom, rounded up to
+        # pack_rows_multiple — pass the mesh's data-axis size so sharded
+        # leading dims stay divisible)
+        self.pack_passages = pack_passages
+        self.pack_segments = pack_segments
+        self.pack_rows = pack_rows
+        self.pack_rows_multiple = max(1, pack_rows_multiple)
 
     def steps_per_epoch(self) -> int:
         n = len(self.groups) // self.batch_size
@@ -98,10 +110,31 @@ class TrainLoader:
 
     def _collate(self, items, epoch, rng):
         examples = [self._make_example(i, epoch, rng) for i in items]
+        if self.pack_passages:
+            if self.pack_rows is None:
+                self.pack_rows = self._auto_pack_rows(examples)
+            return collate_train_packed(
+                examples, self.cfg.q_max_len, self.cfg.p_max_len,
+                self.pack_rows, self.pack_segments, self.pad_id,
+                cls_id=self.cfg.cls_id, sep_id=self.cfg.sep_id,
+            )
         return collate_train(
             examples, self.cfg.q_max_len, self.cfg.p_max_len, self.pad_id,
             cls_id=self.cfg.cls_id, sep_id=self.cfg.sep_id,
         )
+
+    def _auto_pack_rows(self, examples) -> int:
+        from dhr_tpu.encode import plan_packing
+
+        specials = (self.cfg.cls_id is not None) + (self.cfg.sep_id is not None)
+        passages = [p for _, ps, _ in examples for p in ps]
+        planned = len(plan_packing(
+            [len(t) + specials for t in passages],
+            self.cfg.p_max_len, self.pack_segments,
+        ))
+        m = self.pack_rows_multiple
+        rows = -(-int(planned * 1.125) // m) * m
+        return min(rows, -(-len(passages) // m) * m)
 
     def epoch(self, epoch: int, skip: int = 0) -> Iterator[dict]:
         """Iterate one epoch with background prefetch.

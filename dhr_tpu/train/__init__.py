@@ -17,6 +17,7 @@ from dhr_tpu.train.step import (
     LossConfig,
     compute_loss,
     make_grad_cache_train_step,
+    make_packed_train_step,
     make_train_step,
 )
 
@@ -31,6 +32,7 @@ __all__ = [
     "linear_warmup_decay",
     "make_grad_cache_train_step",
     "make_optimizer",
+    "make_packed_train_step",
     "make_train_step",
     "restore_train_state",
     "save_train_state",

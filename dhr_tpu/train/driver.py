@@ -29,6 +29,7 @@ from dhr_tpu.train.state import TrainState
 from dhr_tpu.train.step import (
     LossConfig,
     make_grad_cache_train_step,
+    make_packed_train_step,
     make_train_step,
 )
 
@@ -57,6 +58,13 @@ class RunConfig:
     # (threefry spends ~26% of the step generating dropout masks).  Set
     # "threefry2x32" for cross-platform bit-identical dropout streams.
     rng_impl: str = "rbg"
+    # token-packed passage tower (several passages per row, block-diagonal
+    # attention): cuts the pad FLOPs the plain step spends on every
+    # sub-p_max_len passage.  pack_rows None = auto-size from the first
+    # batch.  Unsupported with grad_cache and the in-graph TCT teacher.
+    pack_passages: bool = False
+    pack_segments: int = 4
+    pack_rows: int | None = None
 
 
 def run_training(
@@ -76,6 +84,11 @@ def run_training(
     """Train a retriever end to end; returns the final state."""
     model = BiEncoder(model_cfg)
     mesh = make_mesh(devices, axis="data")
+    if run_cfg.pack_passages and run_cfg.grad_cache:
+        raise ValueError(
+            "pack_passages does not combine with grad_cache; lower "
+            "pack_rows / batch size instead"
+        )
     loader = TrainLoader(
         groups,
         sampling,
@@ -84,16 +97,33 @@ def run_training(
         kd=kd,
         tasb=TASBSampler(tasb_clusters, seed=sampling.seed)
         if tasb_clusters else None,
+        pack_passages=run_cfg.pack_passages,
+        pack_segments=run_cfg.pack_segments,
+        pack_rows=run_cfg.pack_rows,
+        pack_rows_multiple=mesh.size,
     )
 
     if init_params is None:
         probe = next(iter(loader.epoch(0)))
         loader.global_step = 0
-        init_params = model.init(
-            jax.random.PRNGKey(run_cfg.seed),
-            query=jax.tree.map(jax.numpy.asarray, probe["query"]),
-            passage=jax.tree.map(jax.numpy.asarray, probe["passage"]),
-        )["params"]
+        if "packed_passage" in probe:
+            # params are batch-independent; init the passage tower with a
+            # dummy plain batch (the packed method reuses the same modules)
+            dummy = {
+                "input_ids": np.zeros((2, 8), np.int32),
+                "attention_mask": np.ones((2, 8), np.int32),
+            }
+            init_params = model.init(
+                jax.random.PRNGKey(run_cfg.seed),
+                query=jax.tree.map(jax.numpy.asarray, probe["query"]),
+                passage=jax.tree.map(jax.numpy.asarray, dummy),
+            )["params"]
+        else:
+            init_params = model.init(
+                jax.random.PRNGKey(run_cfg.seed),
+                query=jax.tree.map(jax.numpy.asarray, probe["query"]),
+                passage=jax.tree.map(jax.numpy.asarray, probe["passage"]),
+            )["params"]
 
     tx = make_optimizer(opt_cfg, init_params)
     state = TrainState.create(init_params, tx)
@@ -108,6 +138,13 @@ def run_training(
             q_chunks=run_cfg.gc_q_chunks, p_chunks=run_cfg.gc_p_chunks,
             teacher_apply=teacher_apply,
         )
+    elif run_cfg.pack_passages:
+        if teacher_apply is not None:
+            raise ValueError(
+                "pack_passages does not combine with the in-graph TCT "
+                "teacher (it would need its own plain passage batch)"
+            )
+        step_fn = make_packed_train_step(model, model_cfg, loss_cfg)
     else:
         step_fn = make_train_step(
             model, model_cfg, loss_cfg, teacher_apply=teacher_apply

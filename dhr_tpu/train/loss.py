@@ -137,6 +137,22 @@ def dense_contrastive_loss(q_reps, p_reps, n_passages: int,
     return kl_onehot(scores, n_passages) * loss_scale
 
 
+def _dhr_kl(scores, lexical_scores, semantic_scores, n_passages,
+            teacher_scores, temperature):
+    """The DHR KL combination (one-hot or TCT temperature splits)."""
+    if teacher_scores is not None:
+        loss = kl_vs_teacher(scores, teacher_scores, temperature)
+        loss += 0.5 * kl_vs_teacher(
+            semantic_scores, teacher_scores, temperature * 3 / 4
+        )
+        loss += 0.5 * kl_vs_teacher(
+            lexical_scores, teacher_scores, temperature * 1 / 4
+        )
+    else:
+        loss = kl_onehot(scores, n_passages)
+    return loss
+
+
 def dhr_loss(
     q_reps, p_reps, n_passages: int,
     dlr_out_dim: int | None = 768,
@@ -159,16 +175,36 @@ def dhr_loss(
     semantic_scores = listwise_ip(q_reps.semantic, p_reps.semantic)
     lamb = 1.0 if combine_cls else 0.0
     scores = lexical_scores + lamb * semantic_scores
-    if teacher_scores is not None:
-        loss = kl_vs_teacher(scores, teacher_scores, temperature)
-        loss += 0.5 * kl_vs_teacher(
-            semantic_scores, teacher_scores, temperature * 3 / 4
-        )
-        loss += 0.5 * kl_vs_teacher(
-            lexical_scores, teacher_scores, temperature * 1 / 4
-        )
-    else:
-        loss = kl_onehot(scores, n_passages)
+    loss = _dhr_kl(scores, lexical_scores, semantic_scores, n_passages,
+                   teacher_scores, temperature)
+    return loss * loss_scale, scores
+
+
+def dhr_loss_packed(
+    q_reps, p_values, p_indices, p_semantic, n_passages: int,
+    combine_cls: bool = True,
+    dlr_out_dim: int = 768,
+    remove_dims: int = 570,
+    teacher_scores: jax.Array | None = None,
+    temperature: float = 1.0,
+    loss_scale: float = 1.0,
+):
+    """DHR/DLR loss over a token-packed passage tower.
+
+    The packed forward already produced per-passage DENSIFIED planes
+    (``p_values``/``p_indices``) — the two-level fold (per-token densify,
+    segment max) selects the same (token, fold) winner as densifying the
+    token-maxed vocab plane, so values AND gradients match the plain path
+    up to float near-ties.  Only the GIP variant exists here (the raw
+    (B, V) plane is never materialized under packing).
+    """
+    qv, qi = densify(q_reps.lexical, dlr_out_dim, remove_dims)
+    lexical_scores = gip_scores_masked(qv, qi, p_values, p_indices)
+    semantic_scores = listwise_ip(q_reps.semantic, p_semantic)
+    lamb = 1.0 if combine_cls else 0.0
+    scores = lexical_scores + lamb * semantic_scores
+    loss = _dhr_kl(scores, lexical_scores, semantic_scores, n_passages,
+                   teacher_scores, temperature)
     return loss * loss_scale, scores
 
 
@@ -183,13 +219,43 @@ def agg_loss(
     """Aggretriever loss: fused KL + 0.5 lexical KL + 0.5 semantic KL."""
     q_tok = aggregate(q_reps.lexical, agg_dim, full=not semi_aggregate)
     p_tok = aggregate(p_reps.lexical, agg_dim, full=not semi_aggregate)
-    lexical_scores = listwise_ip(q_tok, p_tok)
-    has_semantic = q_reps.semantic is not None
+    return _agg_kl(
+        listwise_ip(q_tok, p_tok),
+        listwise_ip(q_reps.semantic, p_reps.semantic)
+        if q_reps.semantic is not None else None,
+        n_passages, teacher_scores, temperature, loss_scale,
+    )
+
+
+def agg_loss_packed(
+    q_reps, p_tok, p_semantic, n_passages: int,
+    agg_dim: int = 640,
+    semi_aggregate: bool = False,
+    teacher_scores: jax.Array | None = None,
+    temperature: float = 1.0,
+    loss_scale: float = 1.0,
+):
+    """Aggretriever loss over a token-packed passage tower.
+
+    ``p_tok`` is already aggregated (the packed forward folds per token and
+    segment-maxes, equivalent to aggregating the token-maxed plane); only
+    the query side aggregates here.
+    """
+    q_tok = aggregate(q_reps.lexical, agg_dim, full=not semi_aggregate)
+    return _agg_kl(
+        listwise_ip(q_tok, p_tok),
+        listwise_ip(q_reps.semantic, p_semantic)
+        if q_reps.semantic is not None and p_semantic is not None else None,
+        n_passages, teacher_scores, temperature, loss_scale,
+    )
+
+
+def _agg_kl(lexical_scores, semantic_scores, n_passages, teacher_scores,
+            temperature, loss_scale):
+    has_semantic = semantic_scores is not None
     if has_semantic:
-        semantic_scores = listwise_ip(q_reps.semantic, p_reps.semantic)
         scores = lexical_scores + semantic_scores
     else:
-        semantic_scores = None
         scores = lexical_scores
     if teacher_scores is not None:
         loss = kl_vs_teacher(scores, teacher_scores, temperature)

@@ -117,6 +117,104 @@ def make_train_step(
     return train_step
 
 
+def make_packed_train_step(
+    model: BiEncoder,
+    cfg: RetrieverConfig,
+    loss_cfg: LossConfig,
+) -> Callable:
+    """Train step with a token-packed passage tower.
+
+    Consumes batches from ``collate_train_packed``: the passage tower runs
+    the block-diagonal packed forward (several passages per row — the pad
+    FLOPs the reference spends on every sub-``p_max_len`` passage disappear)
+    and already emits per-passage reduced reps (densified for dhr/dlr,
+    aggregated for agg, pooled for dense); ``slot_pos`` restores the plain
+    flatten order the listwise losses expect.  Gradients match the plain
+    step up to float near-ties (the two-level fold selects the same winner)
+    — dropout masks differ by layout, an equally-valid sample of the same
+    distribution.
+
+    Unsupported here: colbert (token reps need one common L), the in-graph
+    TCT teacher (it would need its own plain passage batch), dlr_out_dim
+    None (the raw (B, V) plane is never materialized), and grad-cache
+    (pack the chunks instead by lowering pack_rows).  Data-provided
+    listwise ``teacher_scores`` matrices work unchanged.
+    """
+    if cfg.model_type not in ("dense", "dhr", "dlr", "agg"):
+        raise ValueError(
+            f"packed training supports dense/dhr/dlr/agg, not {cfg.model_type}"
+        )
+    if loss_cfg.use_tct_teacher:
+        raise ValueError(
+            "packed training does not support the in-graph TCT teacher; "
+            "pass teacher scores through the data instead"
+        )
+    if cfg.model_type in ("dhr", "dlr") and cfg.dlr_out_dim is None:
+        raise ValueError("packed training needs dlr_out_dim (GIP variant)")
+
+    def loss_fn(params, batch, dropout_rng):
+        q_rng, p_rng = jax.random.split(dropout_rng)
+        q_reps, _ = model.apply(
+            {"params": params},
+            query=batch["query"],
+            passage=None,
+            deterministic=False,
+            rngs={"dropout": q_rng},
+        )
+        pp = batch["packed_passage"]
+        vals, idxs, semantic = model.apply(
+            {"params": params},
+            pp["input_ids"], pp["segment_ids"], pp["position_ids"],
+            pp["seg_start"],
+            cfg.dlr_out_dim, loss_cfg.remove_dims,
+            deterministic=False,
+            method="encode_passages_packed",
+            rngs={"dropout": p_rng},
+        )
+        B, S = pp["seg_start"].shape
+        slot_pos = pp["slot_pos"]
+
+        def take(x):
+            return x.reshape(B * S, *x.shape[2:])[slot_pos]
+
+        teacher_scores = batch.get("teacher_scores")
+        if cfg.model_type == "dense":
+            scores = losses.listwise_ip(q_reps.dense, take(vals))
+            loss = losses.kl_onehot(scores, loss_cfg.n_passages)
+            return loss * loss_cfg.loss_scale, scores
+        if cfg.model_type in ("dhr", "dlr"):
+            return losses.dhr_loss_packed(
+                q_reps, take(vals), take(idxs), take(semantic),
+                loss_cfg.n_passages,
+                combine_cls=cfg.combine_cls,
+                dlr_out_dim=cfg.dlr_out_dim,
+                remove_dims=loss_cfg.remove_dims,
+                teacher_scores=teacher_scores,
+                temperature=loss_cfg.temperature,
+                loss_scale=loss_cfg.loss_scale,
+            )
+        return losses.agg_loss_packed(
+            q_reps, take(vals),
+            take(semantic) if semantic is not None else None,
+            loss_cfg.n_passages,
+            agg_dim=cfg.agg_dim,
+            semi_aggregate=cfg.semi_aggregate,
+            teacher_scores=teacher_scores,
+            temperature=loss_cfg.temperature,
+            loss_scale=loss_cfg.loss_scale,
+        )
+
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, dropout_rng
+        )
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
 # --------------------------------------------------------------------------
 # gradient cache
 # --------------------------------------------------------------------------
