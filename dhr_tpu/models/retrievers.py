@@ -291,12 +291,17 @@ class RetrieverEncoder(nn.Module):
                 (segment_ids == (s + 1)) & (position_ids > 0)
             )[..., None]  # (B, L, 1)
             mv = jnp.where(m, tok_vals, 0.0)
-            mi = jnp.where(m, tok_idx, 0)
-            win = jnp.argmax(mv, axis=1)  # (B, out_dim) winner token position
-            vals_list.append(jnp.max(mv, axis=1))
-            idx_list.append(
-                jnp.take_along_axis(mi, win[:, None, :], axis=1)[:, 0]
-            )
+            win_val = jnp.max(mv, axis=1)  # (B, out_dim)
+            # winner's fold index via compare+max, NOT argmax +
+            # take_along_axis: the 1-of-L gather along the sublane axis is
+            # the slow op on TPU (measured: it alone ate the packed
+            # transformer saving; this form is pure elementwise + reduce).
+            # On exact value ties across tokens this keeps the LARGEST fold
+            # index of the tied tokens — tie-only deviation, same class as
+            # the documented packed-vs-plain tie semantics.
+            mi = jnp.where(m & (tok_vals == win_val[:, None, :]), tok_idx, 0)
+            vals_list.append(win_val)
+            idx_list.append(jnp.max(mi, axis=1))
         vals = jnp.stack(vals_list, axis=1)  # (B, S, out_dim)
         idxs = jnp.stack(idx_list, axis=1)
 
