@@ -112,7 +112,7 @@ class TrainLoader:
         examples = [self._make_example(i, epoch, rng) for i in items]
         if self.pack_passages:
             if self.pack_rows is None:
-                self.pack_rows = self._auto_pack_rows(examples)
+                self.pack_rows = self._auto_pack_rows()
             return collate_train_packed(
                 examples, self.cfg.q_max_len, self.cfg.p_max_len,
                 self.pack_rows, self.pack_segments, self.pad_id,
@@ -123,9 +123,25 @@ class TrainLoader:
             cls_id=self.cfg.cls_id, sep_id=self.cfg.sep_id,
         )
 
-    def _auto_pack_rows(self, examples) -> int:
+    def _auto_pack_rows(self) -> int:
+        """Plan-derived packed row budget (+12.5% headroom).
+
+        Always derived from epoch-0 batch-0 — NOT from whatever batch is
+        collated first — so a resumed run (``skip`` > 0) compiles exactly
+        the shapes the uninterrupted run would, keeping the exact-trajectory
+        resume guarantee under packing.
+        """
         from dhr_tpu.encode import plan_packing
 
+        if self.tasb is not None:
+            items = self.tasb.batch_indices(0, self.batch_size)
+        else:
+            items = np.random.default_rng(self.cfg.seed).permutation(
+                len(self.groups)
+            )[: self.batch_size].tolist()
+        examples = [
+            self._make_example(i, 0, self._batch_rng(0, 0)) for i in items
+        ]
         specials = (self.cfg.cls_id is not None) + (self.cfg.sep_id is not None)
         passages = [p for _, ps, _ in examples for p in ps]
         planned = len(plan_packing(

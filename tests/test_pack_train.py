@@ -173,6 +173,57 @@ def test_loader_auto_pack_rows(rng):
         )
 
 
+def test_packed_resume_matches_uninterrupted_trajectory(tmp_path, rng):
+    """Interrupt + resume under --pack-passages: final params bit-identical
+    to the straight run (auto pack_rows derives from epoch-0 batch-0, not
+    from the first post-skip batch, so both runs compile the same shapes)."""
+    import dataclasses
+
+    from dhr_tpu.data import SamplingConfig
+    from dhr_tpu.train.driver import RunConfig, run_training
+
+    groups = []
+    for i in range(16):
+        ps = [rng.integers(2, VOCAB, int(rng.integers(3, 20))).tolist()
+              for _ in range(3)]
+        groups.append({
+            "query": rng.integers(2, VOCAB, 4).tolist(),
+            "positives": ps[:1],
+            "negatives": ps[1:],
+        })
+    cfg = tiny_retriever("dhr")
+    loss_cfg = LossConfig(n_passages=2, remove_dims=6)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, total_steps=8)
+    sampling = SamplingConfig(n_passages=2, q_max_len=Q_LEN, p_max_len=P_LEN,
+                              seed=0, cls_id=CLS, sep_id=SEP)
+    run_cfg = RunConfig(num_epochs=2, batch_size=8, save_steps=1,
+                        log_steps=2, seed=0, pack_passages=True,
+                        pack_segments=3)
+
+    straight = run_training(
+        cfg, loss_cfg, opt_cfg,
+        dataclasses.replace(run_cfg, ckpt_dir=str(tmp_path / "straight")),
+        groups, sampling)
+    assert int(jax.device_get(straight.step)) == 4
+
+    resumed_dir = str(tmp_path / "resumed")
+    part = run_training(
+        cfg, loss_cfg, opt_cfg,
+        dataclasses.replace(run_cfg, ckpt_dir=resumed_dir, max_steps=1),
+        groups, sampling)
+    assert int(jax.device_get(part.step)) == 1
+    resumed = run_training(
+        cfg, loss_cfg, opt_cfg,
+        dataclasses.replace(run_cfg, ckpt_dir=resumed_dir),
+        groups, sampling)
+    assert int(jax.device_get(resumed.step)) == 4
+
+    sl = jax.tree_util.tree_leaves(jax.device_get(straight.params))
+    rl = jax.tree_util.tree_leaves(jax.device_get(resumed.params))
+    for a, b in zip(sl, rl):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_run_training_packed_smoke(tmp_path, rng):
     """run_training with pack_passages: loss finite, checkpoint written."""
     from dhr_tpu.data import SamplingConfig
