@@ -345,17 +345,21 @@ def cmd_encode(args):
     from dhr_tpu.data.collate import wrap_specials
 
     order = None
-    if getattr(args, "pack", False):
+    pack = getattr(args, "pack", False)
+    if pack:
         # token-level packing: several documents per row, block-diagonal
         # attention; corpus side only (queries are near-uniform short)
         if args.encode_is_qry:
             raise SystemExit("--pack applies to corpus encode only")
         if getattr(args, "length_bucketing", False):
             raise SystemExit("--pack and --length-bucketing are exclusive")
-        if model_cfg.model_type not in ("dense", "dhr", "dlr", "agg"):
+        if model_cfg.model_type not in ("dense", "dhr", "dlr", "agg") or (
+            model_cfg.model_type == "agg" and model_cfg.skip_mlm
+        ):
             raise SystemExit(
-                f"--pack is not supported for {model_cfg.model_type}; use "
-                "--length-bucketing"
+                f"--pack is not supported for {model_cfg.model_type}"
+                f"{' with --skip-mlm' if model_cfg.model_type == 'agg' else ''}"
+                "; use --length-bucketing"
             )
         from dhr_tpu.encode import packed_encode_batches
 
@@ -363,25 +367,10 @@ def cmd_encode(args):
             ids, texts, args.batch_size, max_len, args.pack_segments,
             args.cls_token_id, args.sep_token_id,
         )
-        packed = enc.encode_corpus_packed(_packed_gen)
-        values, indices, docids = (
-            packed.values, packed.indices, packed.docids
-        )
-        inv = np.argsort(order)
-        packed = dataclasses.replace(
-            packed,
-            values=values[inv],
-            indices=indices[inv] if indices is not None else None,
-            docids=docids[inv],
-        )
-        packed.save(args.output)
-        logger.info(
-            "encoded %d passages (packed, <=%d docs/row) -> %s",
-            packed.num_rows, args.pack_segments, args.output,
-        )
-        return
 
-    if getattr(args, "length_bucketing", False):
+        def batches():
+            return _packed_gen
+    elif getattr(args, "length_bucketing", False):
         # sort-by-length batches padded to small bucket lengths: same reps
         # (masked positions), a fraction of the pad FLOPs on short-document
         # corpora; outputs are restored to input order below
@@ -438,7 +427,10 @@ def cmd_encode(args):
             json.dump(list(map(str, qids_arr)), f)
         logger.info("encoded %d queries -> %s", len(qids_arr), args.output)
     else:
-        packed = enc.encode_corpus(batches())
+        if pack:
+            packed = enc.encode_corpus_packed(batches())
+        else:
+            packed = enc.encode_corpus(batches())
         values, indices, docids = _restore(
             packed.values, packed.indices, packed.docids
         )
@@ -446,7 +438,11 @@ def cmd_encode(args):
             packed, values=values, indices=indices, docids=docids
         )
         packed.save(args.output)
-        logger.info("encoded %d passages -> %s", packed.num_rows, args.output)
+        logger.info(
+            "encoded %d passages%s -> %s", packed.num_rows,
+            f" (packed, <={args.pack_segments} docs/row)" if pack else "",
+            args.output,
+        )
 
 
 # ---------------------------------------------------------------- densify --
@@ -797,6 +793,17 @@ def cmd_beir(args):
         raise SystemExit("pass --dataset-dir DIR or --datasets name[,name...]")
 
     model_cfg = _model_cfg_checked(args)
+    if getattr(args, "pack", False):
+        if getattr(args, "length_bucketing", False):
+            raise SystemExit("--pack and --length-bucketing are exclusive")
+        if model_cfg.model_type not in ("dense", "dhr", "dlr", "agg") or (
+            model_cfg.model_type == "agg" and model_cfg.skip_mlm
+        ):
+            raise SystemExit(
+                f"--pack is not supported for {model_cfg.model_type}"
+                f"{' with --skip-mlm' if model_cfg.model_type == 'agg' else ''}"
+                "; use --length-bucketing"
+            )
     model, params = _load_init_params(args, model_cfg)
     enc = Encoder(
         model, params, model_cfg,
@@ -931,7 +938,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="token-pack the passage tower (several passages per "
                         "p_max_len row, block-diagonal attention): cuts the "
                         "pad FLOPs of sub-p_max_len passages "
-                        "(dense/dhr/dlr/agg; not with --grad-cache/--tct)")
+                        "(dense/dhr/dlr/agg-MLM; not with --grad-cache/--tct)")
     p.add_argument("--train-pack-segments", type=int, default=4,
                    help="max passages packed into one training row")
     p.add_argument("--pack-rows", type=int, default=None,
@@ -969,7 +976,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack", action="store_true",
                    help="token-level sequence packing: several documents "
                         "share one p_max_len row under a block-diagonal "
-                        "attention mask (dense/dhr/dlr/agg corpus encode; "
+                        "attention mask (dense/dhr/dlr/agg-MLM corpus encode; "
                         "goes beyond --length-bucketing when documents are "
                         "much shorter than p_max_len)")
     p.add_argument("--pack-segments", type=int, default=8,
@@ -1188,7 +1195,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "order never matters here)")
     p.add_argument("--pack", action="store_true",
                    help="token-level sequence packing for the corpus encode "
-                        "(dense/dhr/dlr/agg; beats --length-bucketing on "
+                        "(dense/dhr/dlr/agg-MLM; beats --length-bucketing on "
                         "short-document corpora)")
     p.add_argument("--pack-segments", type=int, default=8,
                    help="max documents packed into one row")

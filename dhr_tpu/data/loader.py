@@ -139,9 +139,11 @@ class TrainLoader:
             items = np.random.default_rng(self.cfg.seed).permutation(
                 len(self.groups)
             )[: self.batch_size].tolist()
-        examples = [
-            self._make_example(i, 0, self._batch_rng(0, 0)) for i in items
-        ]
+        # ONE advancing rng across the batch's examples, exactly like
+        # _collate — a per-example reseed would sample different passages
+        # than the real batch 0 wherever rng.choices is hit
+        rng = self._batch_rng(0, 0)
+        examples = [self._make_example(i, 0, rng) for i in items]
         specials = (self.cfg.cls_id is not None) + (self.cfg.sep_id is not None)
         passages = [p for _, ps, _ in examples for p in ps]
         planned = len(plan_packing(

@@ -198,7 +198,6 @@ class Encoder:
         for batch in batches:
             slot_ids = batch["slot_ids"]
             seg_start = np.asarray(batch["seg_start"])
-            S = seg_start.shape[1]
             vals, idxs = self._encode_packed(
                 jnp.asarray(batch["input_ids"]),
                 jnp.asarray(batch["segment_ids"]),
@@ -390,7 +389,9 @@ def plan_packing(lengths, row_len: int, max_segments: int):
     """
     import bisect
 
-    lengths = np.minimum(np.asarray(lengths, np.int64), row_len)
+    # floor at 1: wrap_specials emits at least one token for an empty item
+    # ("t or [0]"), so planning it at 0 could overfill a row at collate time
+    lengths = np.clip(np.asarray(lengths, np.int64), 1, row_len)
     by_len: dict[int, list[int]] = {}
     for i, l in enumerate(lengths.tolist()):
         by_len.setdefault(l, []).append(i)

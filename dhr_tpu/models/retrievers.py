@@ -215,14 +215,16 @@ class RetrieverEncoder(nn.Module):
           positions (reference DHR/modeling.py:330-345 masks pads to 0
           before the max) for every document shorter than the row.
 
-        - agg: ``(merged_or_lexical, None, semantic_or_None)`` — the fold
-          commutes with the token max, so the MLM variant folds each token's
-          vocab plane first (``aggregate(..., full=False)`` at the full-mode
-          width) and segment-maxes the folded planes; skip-MLM scatter-maxes
-          term weights into a per-segment ``(B, S, V)`` plane.  Sign
-          competition (full mode) runs after the segment max, exactly where
-          the plain path runs it after its token max
-          (reference tevatron/Aggretriever/utils.py:8-44).
+        - agg (MLM variants): ``(lexical, None, semantic_or_None)`` — the
+          fold commutes with the token max, so each token's vocab plane
+          folds first (``aggregate(..., full=False)`` at the full-mode
+          width) and the folded planes segment-max.  Sign competition (full
+          mode) runs after the segment max, exactly where the plain path
+          runs it after its token max (reference
+          tevatron/Aggretriever/utils.py:8-44).  skip-MLM raises: the plain
+          path scatters pad-position term weights into vocab bucket 0
+          (no attention mask in the reference scatter) and those pad hidden
+          states do not exist in a packed row.
 
         colbert needs one common L per document and raises.
         """
@@ -230,6 +232,18 @@ class RetrieverEncoder(nn.Module):
         if cfg.model_type not in ("dense", "dhr", "dlr", "agg"):
             raise ValueError(
                 f"packed encode supports dense/dhr/dlr/agg, not {cfg.model_type}"
+            )
+        if cfg.model_type == "agg" and cfg.skip_mlm:
+            # plain skip-MLM scatter-maxes term weights at ALL positions
+            # 1..L-1 including pads (reference Aggretriever/modeling.py:282-284
+            # applies no attention mask), so vocab bucket 0 carries pad-
+            # position term weights computed from pad hidden states — states
+            # that do not exist in a packed row.  Exact parity is therefore
+            # impossible under packing; reject instead of silently deviating.
+            raise ValueError(
+                "packed encode does not support agg skip_mlm (the plain "
+                "path's pad-position scatter into vocab bucket 0 cannot be "
+                "reproduced without the pad rows) — use --length-bucketing"
             )
         attn = (segment_ids > 0).astype(jnp.int32)
         if cfg.needs_mlm:
@@ -321,9 +335,9 @@ class RetrieverEncoder(nn.Module):
         reduces (B, L, width) -> (B, S, width).  Sign competition (full
         mode) runs after that reduce — the same point in the chain as the
         plain path (reference tevatron/Aggretriever/utils.py:8-44, applied
-        after the token max of modeling.py:268-284).  skip-MLM scatter-maxes
-        term weights into (B, S, V) (62 MB at B=64, V=30k — fine in HBM)
-        and folds that.  Zero-floor semantics match the packed dhr path:
+        after the token max of modeling.py:268-284).  skip-MLM is rejected
+        upstream (see encode_packed).  Zero-floor semantics match the packed
+        dhr path:
         out-of-segment positions contribute exact zeros, reproducing the
         plain path's masked-pad floor for every document shorter than its
         row.
@@ -353,15 +367,8 @@ class RetrieverEncoder(nn.Module):
                 )
             tok = jnp.stack(vals_list, axis=1)  # (B, S, W)
         else:
-            B, L = input_ids.shape
-            V = cfg.encoder.vocab_size
-            lex = jnp.zeros((B, S, V), jnp.float32)
-            b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
-            seg_idx = jnp.clip(segment_ids - 1, 0, S - 1)
-            # pads/CLS scatter value 0 — a no-op against the zero init
-            val = jnp.where(token_ok, tw[..., 0].astype(jnp.float32), 0.0)
-            lex = lex.at[b_idx, seg_idx, input_ids].max(val)
-            tok = aggregate(lex, width, full=False)  # (B, S, W)
+            # unreachable: skip-MLM is rejected in encode_packed (see there)
+            raise ValueError("packed encode does not support agg skip_mlm")
 
         if not cfg.semi_aggregate:
             pos_l, neg_l = tok[..., 0::2], tok[..., 1::2]

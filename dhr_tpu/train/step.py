@@ -144,6 +144,12 @@ def make_packed_train_step(
         raise ValueError(
             f"packed training supports dense/dhr/dlr/agg, not {cfg.model_type}"
         )
+    if cfg.model_type == "agg" and cfg.skip_mlm:
+        raise ValueError(
+            "packed training does not support agg skip_mlm (the plain "
+            "path's pad-position scatter cannot be reproduced in packed "
+            "rows — see RetrieverEncoder.encode_packed)"
+        )
     if loss_cfg.use_tct_teacher:
         raise ValueError(
             "packed training does not support the in-graph TCT teacher; "

@@ -128,8 +128,20 @@ def test_packed_matches_plain_agg_semi(rng):
     _packed_vs_plain("agg", rng, agg_dim=8, semi_aggregate=True)
 
 
-def test_packed_matches_plain_agg_skip_mlm(rng):
-    _packed_vs_plain("agg", rng, add_pooler=True, agg_dim=8, skip_mlm=True)
+def test_packed_rejects_agg_skip_mlm(rng):
+    """skip-MLM scatters PAD-position term weights into vocab bucket 0
+    (reference applies no attention mask); pad hidden states don't exist
+    in packed rows, so parity is impossible and the path must raise."""
+    model, params, cfg = _make_model("agg", agg_dim=8, skip_mlm=True)
+    enc = Encoder(model, params, cfg, EncodeConfig(batch_size=4, remove_dims=6))
+    ids, toks = _corpus(rng, n=4)
+    gen, _ = packed_encode_batches(ids, toks, 4, ROW_LEN, 4, CLS, SEP)
+    try:
+        enc.encode_corpus_packed(gen)
+    except ValueError as e:
+        assert "skip_mlm" in str(e)
+    else:
+        raise AssertionError("agg skip_mlm packed encode should raise")
 
 
 def test_packed_rejects_colbert(rng):

@@ -146,6 +146,9 @@ def test_packed_step_rejects_unsupported():
         make_packed_train_step(
             BiEncoder(cfg), cfg, LossConfig(use_tct_teacher=True)
         )
+    cfg = tiny_retriever("agg", skip_mlm=True)
+    with pytest.raises(ValueError, match="skip_mlm"):
+        make_packed_train_step(BiEncoder(cfg), cfg, LossConfig())
 
 
 def test_loader_auto_pack_rows(rng):

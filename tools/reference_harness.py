@@ -228,7 +228,8 @@ def _our_env() -> dict:
 
 
 def run_our_encode(work: str, ckpt: str, jsonl: str, out: str, is_query: bool,
-                   dlr_out_dim: int = 768, batch_size: int = 16) -> str:
+                   dlr_out_dim: int = 768, batch_size: int = 16,
+                   pack: bool = False) -> str:
     cmd = [
         sys.executable, "-m", "dhr_tpu", "encode",
         "--model", "dhr",
@@ -242,6 +243,8 @@ def run_our_encode(work: str, ckpt: str, jsonl: str, out: str, is_query: bool,
     ]
     if is_query:
         cmd.append("--encode-is-qry")
+    if pack:
+        cmd += ["--pack", "--pack-segments", "4"]
     return _run(cmd, _our_env())
 
 
@@ -376,6 +379,29 @@ def run_parity(work: str, n_corpus: int = 2000, n_queries: int = 16,
         "mean_abs_value_diff": float(vdiff.mean()),
         "index_plane_mismatch_frac": idx_mismatch / ref_ci.size,
     }
+
+    # ---- token-packed encode vs the executed reference ------------------
+    # several documents per row under block-diagonal attention must still
+    # reproduce the reference's one-document-per-row torch planes
+    our_packed = os.path.join(work, "our_corpus_packed.npz")
+    run_our_encode(work, ckpt, corpus_jsonl, our_packed, False, pack=True)
+    with np.load(our_packed, allow_pickle=True) as z:
+        pk_cv, pk_ci = z["values"], z["indices"]
+        pk_ids = [str(i) for i in z["docids"]]
+    assert pk_ids == [f"d{i}" for i in range(n_corpus)]
+    pdiff = np.abs(ref_cv.astype(np.float32) - pk_cv.astype(np.float32))
+    pmism = ref_ci != pk_ci
+    report["encode_corpus_packed"] = {
+        "rows": int(pk_cv.shape[0]),
+        "max_abs_value_diff": float(pdiff.max()),
+        "mean_abs_value_diff": float(pdiff.mean()),
+        "index_plane_mismatch_frac": float(pmism.mean()),
+    }
+    if pmism.any():
+        report["encode_corpus_packed"]["index_mismatch_max_value_gap"] = float(
+            np.abs(ref_cv[:, :dlr].astype(np.float32)
+                   - pk_cv[:, :dlr].astype(np.float32))[pmism].max()
+        )
 
     ref_qv, ref_qi, ref_qids = load_pickle(ref_query_pkl)
     with np.load(our_query + ".npz") as z:
