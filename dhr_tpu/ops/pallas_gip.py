@@ -191,7 +191,8 @@ def partial_gip_scores_pallas(qv, qi, values_T, indices_T, lex_dim, n_dims,
 # --------------------------------------------------------------------------
 
 
-def _make_candidates_kernel(unroll: int, reduce_block: int):
+def _make_candidates_kernel(unroll: int, reduce_block: int,
+                            packed_ids: bool = False):
     """Theta-pass kernel emitting per-block (max, argmax-row) planes.
 
     Identical streaming/accumulation to :func:`_make_kernel`, but instead of
@@ -212,16 +213,30 @@ def _make_candidates_kernel(unroll: int, reduce_block: int):
     true-top rows that share a block with a better row (expected
     ``topk^2 / (2 N / G)`` collisions — ~2.4 of the top-1000 at 1.64M rows,
     G=8), and the exact rerank that always follows re-scores the survivors.
+
+    ``packed_ids``: emit ONE f32 plane with the winner's group-local index
+    packed into the low ``log2(G)`` mantissa bits of its f32 score
+    (``bits(score) & -G | j``).  The perturbation is < G ulps, so float
+    ordering over the packed plane equals score ordering (ties within
+    G ulps break arbitrarily — the exact rerank re-scores anyway), and the
+    downstream top-k needs NO ``take_along_axis`` row-id gather (measured
+    9.3 ms for (64, 10k) of (64, 205k) — the reason the two-plane variant
+    lost e2e): the absolute row id is pure arithmetic of (position, j),
+    see :func:`decode_packed_candidates`.
     """
     G = reduce_block
 
     def _kernel(dims_ref, gates_ref, vals_ref, lex_ref,  # scalar prefetch
-                *refs):  # unroll vrows, unroll irows, outv, outr, acc
+                *refs):  # unroll vrows, unroll irows, outs..., acc
         vrows = refs[:unroll]
         irows = refs[unroll:2 * unroll]
-        outv_ref = refs[2 * unroll]
-        outr_ref = refs[2 * unroll + 1]
-        acc_ref = refs[2 * unroll + 2]
+        if packed_ids:
+            out_ref = refs[2 * unroll]
+            acc_ref = refs[2 * unroll + 1]
+        else:
+            outv_ref = refs[2 * unroll]
+            outr_ref = refs[2 * unroll + 1]
+            acc_ref = refs[2 * unroll + 2]
         b = pl.program_id(0)
         n = pl.program_id(1)
         i = pl.program_id(2)
@@ -254,19 +269,45 @@ def _make_candidates_kernel(unroll: int, reduce_block: int):
                 m = v > best_v  # strict: first max wins (np.argmax rule)
                 best_v = jnp.where(m, v, best_v)
                 best_j = jnp.where(m, j, best_j)
-            g = jax.lax.broadcasted_iota(jnp.int32, (ts // G, LANE), 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (ts // G, LANE), 1)
-            n0 = n * (ts * LANE)
-            outv_ref[0] = best_v.astype(outv_ref.dtype)
-            outr_ref[0] = n0 + (g * G + best_j) * LANE + lane
+            if packed_ids:
+                bits = jax.lax.bitcast_convert_type(best_v, jnp.int32)
+                packed = (bits & jnp.int32(-G)) | best_j
+                out_ref[0] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+            else:
+                g = jax.lax.broadcasted_iota(jnp.int32, (ts // G, LANE), 0)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (ts // G, LANE), 1)
+                n0 = n * (ts * LANE)
+                outv_ref[0] = best_v.astype(outv_ref.dtype)
+                outr_ref[0] = n0 + (g * G + best_j) * LANE + lane
 
     return _kernel
+
+
+def decode_packed_candidates(packed, pos, reduce_block: int):
+    """Decode ``packed_ids`` kernel winners selected at reduced positions.
+
+    ``packed``: (..., K) f32 values picked from the (B, N/G) packed plane;
+    ``pos``: their positions within that plane's lane dim.  Returns
+    ``(scores, rows)`` — the winner's f32 score with the id bits cleared
+    (< G ulps from the true score) and its absolute shard row id,
+    reconstructed with pure arithmetic (no gather): the reduced plane's
+    position p maps to rows ``(p // LANE) * G * LANE + j * LANE + p % LANE``
+    for group-local winner j (kernel layout: groups of G sublanes within a
+    tile, see :func:`_make_candidates_kernel`).
+    """
+    G = reduce_block
+    u = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    j = u & (G - 1)
+    scores = jax.lax.bitcast_convert_type(u & jnp.int32(-G), jnp.float32)
+    rows = (pos // LANE) * (G * LANE) + j * LANE + pos % LANE
+    return scores, rows
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_tile", "interpret", "unroll", "out_dtype",
-                     "reduce_block"),
+                     "reduce_block", "packed_ids"),
 )
 def pallas_gip_candidates(
     imp_vals: jax.Array,     # (B, I) f32
@@ -280,17 +321,24 @@ def pallas_gip_candidates(
     unroll: int = 8,
     out_dtype=jnp.bfloat16,
     reduce_block: int = 8,
-) -> tuple[jax.Array, jax.Array]:
+    packed_ids: bool = False,
+):
     """Theta-pass + fused block reduction: ``(B, N/G)`` (scores, row ids).
 
     Each reduced entry is the best-scoring row of its ``reduce_block``-row
     group (score in ``out_dtype``, absolute row id int32); run the
     candidate top-k over this plane and the winners ARE the candidate rows.
+
+    With ``packed_ids`` (requires power-of-two ``reduce_block``) a SINGLE
+    f32 plane is returned, the winner's local index packed into the low
+    mantissa bits; decode the top-k picks with
+    :func:`decode_packed_candidates`.
     """
     B, n_imp = imp_vals.shape
     D, N = values_T.shape
     G = reduce_block
     assert N % n_tile == 0 and n_tile % (G * LANE) == 0, (N, n_tile, G)
+    assert not packed_ids or (G & (G - 1)) == 0, G
     unroll = max(1, min(unroll, n_imp))
     pad = (-n_imp) % unroll
     if pad:
@@ -332,23 +380,30 @@ def pallas_gip_candidates(
             [vspec(j) for j in range(unroll)]
             + [ispec(j) for j in range(unroll)]
         ),
-        out_specs=(out_spec, out_spec),
+        out_specs=out_spec if packed_ids else (out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((1, ts, LANE), jnp.float32)],
     )
     nr = N // (G * LANE)
-    red_v, red_r = pl.pallas_call(
-        _make_candidates_kernel(unroll, G),
-        grid_spec=grid_spec,
-        out_shape=(
+    if packed_ids:
+        out_shape = jax.ShapeDtypeStruct((B, nr, LANE), jnp.float32)
+    else:
+        out_shape = (
             jax.ShapeDtypeStruct((B, nr, LANE), out_dtype),
             jax.ShapeDtypeStruct((B, nr, LANE), jnp.int32),
-        ),
+        )
+    out = pl.pallas_call(
+        _make_candidates_kernel(unroll, G, packed_ids),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(
         imp_dims.astype(jnp.int32), imp_gates.astype(jnp.int32),
         imp_vals.astype(jnp.float32), lex_arr,
         *([v3] * unroll + [i3] * unroll),
     )
+    if packed_ids:
+        return out.reshape(B, N // G)
+    red_v, red_r = out
     return red_v.reshape(B, N // G), red_r.reshape(B, N // G)
 
 
@@ -356,7 +411,8 @@ def partial_gip_candidates_pallas(qv, qi, values_T, indices_T, lex_dim,
                                   n_dims, n_tile: int = 4096,
                                   interpret: bool = False, unroll: int = 8,
                                   out_dtype=jnp.bfloat16,
-                                  reduce_block: int = 8):
+                                  reduce_block: int = 8,
+                                  packed_ids: bool = False):
     """Fused twin of :func:`partial_gip_scores_pallas`: reduced candidates."""
     imp_val, imp_dim = jax.lax.top_k(qv, n_dims)
     imp_gate = jnp.take_along_axis(qi, imp_dim, axis=-1)
@@ -364,4 +420,5 @@ def partial_gip_candidates_pallas(qv, qi, values_T, indices_T, lex_dim,
         imp_val, imp_dim, imp_gate, values_T, indices_T, lex_dim,
         n_tile=n_tile, interpret=interpret, unroll=unroll,
         out_dtype=out_dtype, reduce_block=reduce_block,
+        packed_ids=packed_ids,
     )

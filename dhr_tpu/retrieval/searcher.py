@@ -140,7 +140,11 @@ def _pick_pallas_tile(
     bf16 U=4 at n_tile=409600 fails with 16.23M > 16M).
     """
     if fused_block:
-        out_bytes = 4 + -(-6 // fused_block)  # f32 acc + (bf16+i32)/G outs
+        if fused_block & (fused_block - 1) == 0:
+            # packed-ids variant: f32 acc + one f32 out plane / G
+            out_bytes = 4 + -(-4 // fused_block)
+        else:
+            out_bytes = 4 + -(-6 // fused_block)  # acc + (bf16+i32)/G outs
     else:
         out_bytes = 6 if narrow_out else 4
     for t in _PALLAS_TILES:
@@ -387,17 +391,26 @@ class Searcher:
                 if fused_ok:
                     # fused path: the kernel emits (N/G) block winners;
                     # candidate top-k runs over the reduced plane and the
-                    # winners ARE the candidate rows
+                    # winners ARE the candidate rows.  Power-of-two G uses
+                    # packed ids (winner's local index in the score's low
+                    # mantissa bits) so the row id is arithmetic of the
+                    # top-k position — no take_along_axis gather (measured
+                    # 9.3 ms for (64, 10k) of (64, 205k) lanes, the cost
+                    # that made the two-plane variant lose e2e).
                     from dhr_tpu.ops.pallas_gip import (
+                        decode_packed_candidates,
                         partial_gip_candidates_pallas,
                     )
 
-                    red_vals, red_rows = partial_gip_candidates_pallas(
+                    packed_ids = G & (G - 1) == 0
+                    red_vals = partial_gip_candidates_pallas(
                         qv, qi, values_T, indices_T, idx.lex_dim, n_dims,
                         n_tile=pallas_tile, interpret=cfg.pallas_interpret,
                         unroll=cfg.pallas_unroll, out_dtype=cand_dtype,
-                        reduce_block=G,
+                        reduce_block=G, packed_ids=packed_ids,
                     )
+                    if not packed_ids:
+                        red_vals, red_rows = red_vals
                     k_local = min(k1, n_local)
                     if (cfg.approx_candidates
                             and red_vals.shape[-1] > 2 * k_local):
@@ -416,7 +429,10 @@ class Searcher:
                             red_vals, min(k_local, red_vals.shape[-1]),
                             cfg.topk_block,
                         )
-                    rows = jnp.take_along_axis(red_rows, pos, axis=-1)
+                    if packed_ids:
+                        vals, rows = decode_packed_candidates(vals, pos, G)
+                    else:
+                        rows = jnp.take_along_axis(red_rows, pos, axis=-1)
                     return vals, rows + offset
                 if pallas_ok:
                     from dhr_tpu.ops.pallas_gip import partial_gip_scores_pallas

@@ -121,6 +121,53 @@ def test_fused_candidates_kernel_matches_block_reduce(rng, G):
     np.testing.assert_array_equal(np.asarray(rr), rows_want)
 
 
+@pytest.mark.parametrize("G", [2, 8])
+def test_fused_candidates_packed_ids_match_two_plane(rng, G):
+    """packed_ids variant: one f32 plane with the winner's local index in
+    the low mantissa bits.  Decoded rows must equal the two-plane variant's
+    exactly; decoded scores within G ulps (id bits cleared).  Negative
+    scores included (negative qv) — packing perturbs only low mantissa
+    bits, so float ordering survives either sign."""
+    from dhr_tpu.ops.pallas_gip import (
+        decode_packed_candidates, partial_gip_candidates_pallas,
+    )
+
+    B, N, I, lex, cls, k = 4, 1024, 6, 16, 4, 5
+    D = lex + cls
+    values_T = np.round(rng.random((D, N)) * 8) / 8
+    indices_T = rng.integers(0, k, (lex, N)).astype(np.int8)
+    qv = np.where(rng.random((B, D)) > 0.5,
+                  rng.random((B, D)) - 0.5, 0.0)  # signed -> signed scores
+    qi = np.concatenate(
+        [rng.integers(0, k, (B, lex)), np.ones((B, cls))], axis=1
+    ).astype(np.int32)
+    args = (jnp.asarray(qv, jnp.float32), jnp.asarray(qi),
+            jnp.asarray(values_T, jnp.float32), jnp.asarray(indices_T))
+    n_tile = 128 * G  # must be a multiple of G * LANE
+    rv, rr = partial_gip_candidates_pallas(
+        *args, lex, I, n_tile=n_tile, interpret=True, unroll=4,
+        out_dtype=jnp.float32, reduce_block=G)
+    packed = partial_gip_candidates_pallas(
+        *args, lex, I, n_tile=n_tile, interpret=True, unroll=4,
+        reduce_block=G, packed_ids=True)
+    assert packed.shape == rv.shape and packed.dtype == jnp.float32
+    pos = jnp.broadcast_to(jnp.arange(packed.shape[-1]), packed.shape)
+    scores, rows = decode_packed_candidates(packed, pos, G)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(rr))
+    # id bits live below f32 precision at these magnitudes except exact 0
+    want = np.asarray(rv)
+    got = np.asarray(scores)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-37)
+    # the packed plane itself orders like the scores wherever they differ
+    # by more than G ulps (spot-check via argsort agreement on row 0)
+    order_p = np.argsort(-np.asarray(packed)[0], kind="stable")
+    order_s = np.argsort(-want[0], kind="stable")
+    disagree = order_p != order_s
+    if disagree.any():
+        assert np.allclose(want[0][order_p[disagree]],
+                           want[0][order_s[disagree]], rtol=1e-6)
+
+
 def test_searcher_fused_candidates_matches_plain(rng):
     """End-to-end: fused-candidate search == plain search (same final
     rankings) when the candidate pool covers the corpus."""
