@@ -353,13 +353,13 @@ def cmd_encode(args):
             raise SystemExit("--pack applies to corpus encode only")
         if getattr(args, "length_bucketing", False):
             raise SystemExit("--pack and --length-bucketing are exclusive")
-        if model_cfg.model_type not in ("dense", "dhr", "dlr", "agg") or (
-            model_cfg.model_type == "agg" and model_cfg.skip_mlm
-        ):
+        if model_cfg.model_type == "agg" and model_cfg.skip_mlm:
+            # the plain skip-MLM scatter includes pad-position term weights
+            # (vocab bucket 0); those rows do not exist packed — see
+            # RetrieverEncoder.encode_packed
             raise SystemExit(
-                f"--pack is not supported for {model_cfg.model_type}"
-                f"{' with --skip-mlm' if model_cfg.model_type == 'agg' else ''}"
-                "; use --length-bucketing"
+                "--pack is not supported for agg with --skip-mlm; "
+                "use --length-bucketing"
             )
         from dhr_tpu.encode import packed_encode_batches
 
@@ -402,13 +402,20 @@ def cmd_encode(args):
         return tuple(a[inv] if a is not None else None for a in arrays)
 
     if model_cfg.model_type == "colbert":
-        if order is not None:
+        if order is not None and not pack:
             raise SystemExit(
                 "--length-bucketing is not supported for colbert: token "
-                "reps are (N, L, D) and need one common L"
+                "reps are (N, L, D) and need one common L (--pack is the "
+                "fast path instead)"
             )
         role = "query" if args.encode_is_qry else "passage"
-        reps, out_ids = enc.encode_tokens(batches(), role)
+        if pack:
+            reps, out_ids = enc.encode_tokens_packed(batches(), max_len)
+            inv = np.argsort(order)
+            reps = reps[inv]
+            out_ids = [out_ids[i] for i in inv]
+        else:
+            reps, out_ids = enc.encode_tokens(batches(), role)
         np.savez(args.output, token=reps)
         with open(args.output + ".ids.json", "w") as f:
             json.dump(list(map(str, out_ids)), f)

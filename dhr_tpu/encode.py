@@ -63,6 +63,7 @@ class Encoder:
         self._encode_query = self._build(role="query")
         self._encode_passage = self._build(role="passage")
         self._encode_packed = None  # built lazily on first packed call
+        self._encode_packed_tokens = None  # colbert packed twin
 
     def _build(self, role: str):
         cfg = self.cfg
@@ -136,9 +137,10 @@ class Encoder:
         ecfg = self.encode_cfg
         if cfg.model_type not in ("dense", "dhr", "dlr", "agg"):
             raise ValueError(
-                "packed encode supports dense/dhr/dlr/agg, not "
-                f"{cfg.model_type} (colbert needs one common L per "
-                "document) — use --length-bucketing"
+                "packed plane encode supports dense/dhr/dlr/agg, not "
+                f"{cfg.model_type}"
+                + (" — colbert packs via encode_tokens_packed()"
+                   if cfg.model_type == "colbert" else "")
             )
 
         def run(params, input_ids, segment_ids, position_ids, seg_start):
@@ -183,6 +185,83 @@ class Encoder:
                               position_ids, seg_start)
 
         return encode
+
+    def _build_packed_tokens(self):
+        """Jitted program for colbert token-packed rows (docs share rows)."""
+        if self.cfg.model_type != "colbert":
+            raise ValueError(
+                "packed token encode is colbert-only, not "
+                f"{self.cfg.model_type}"
+            )
+
+        def run(params, input_ids, segment_ids, position_ids):
+            reps = self.model.apply(
+                {"params": params}, input_ids, segment_ids, position_ids,
+                method="encode_tokens_packed",
+            )
+            return reps.astype(jnp.float16)
+
+        jitted = jax.jit(run)
+
+        if self.mesh is not None and self.mesh.size > 1:
+            from dhr_tpu.parallel import row_sharded
+
+            sharding = row_sharded(self.mesh)
+
+            def encode(input_ids, segment_ids, position_ids):
+                return jitted(
+                    self.params,
+                    jax.device_put(input_ids, sharding),
+                    jax.device_put(segment_ids, sharding),
+                    jax.device_put(position_ids, sharding),
+                )
+        else:
+            def encode(input_ids, segment_ids, position_ids):
+                return jitted(self.params, input_ids, segment_ids,
+                              position_ids)
+
+        return encode
+
+    def encode_tokens_packed(
+        self, batches: Iterable[dict], out_len: int
+    ) -> tuple[np.ndarray, list]:
+        """ColBERT reps from token-packed batches: ``(reps (N, L, D), ids)``.
+
+        The packed twin of :meth:`encode_tokens` (passage side).  The device
+        emits one ``(B, row_len, D)`` f16 plane per batch — FEWER bytes than
+        the plain path's per-document padding, on top of the transformer
+        saving — and the host unpacks each document with one contiguous
+        slice (its segment is laid out ``[CLS], t1, ...``), zero-padding to
+        ``out_len`` so the result is drop-in for
+        :mod:`dhr_tpu.retrieval.colbert` scoring.
+        """
+        if self._encode_packed_tokens is None:
+            self._encode_packed_tokens = self._build_packed_tokens()
+        reps_out, ids_out = [], []
+        for batch in batches:
+            slot_ids = batch["slot_ids"]
+            seg_start = np.asarray(batch["seg_start"])
+            segment_ids = np.asarray(batch["segment_ids"])
+            reps = np.asarray(self._encode_packed_tokens(
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["segment_ids"]),
+                jnp.asarray(batch["position_ids"]),
+            ))
+            n_docs = sum(len(s) for s in slot_ids)
+            out = np.zeros((n_docs, out_len, reps.shape[-1]), np.float16)
+            d = 0
+            for r, sids in enumerate(slot_ids):
+                seg_len = np.bincount(
+                    segment_ids[r], minlength=len(sids) + 1
+                )
+                for s, sid in enumerate(sids):
+                    start = int(seg_start[r, s])
+                    ln = min(int(seg_len[s + 1]), out_len)
+                    out[d, :ln] = reps[r, start:start + ln]
+                    ids_out.append(sid)
+                    d += 1
+            reps_out.append(out)
+        return np.concatenate(reps_out, axis=0), ids_out
 
     def encode_corpus_packed(self, batches: Iterable[dict]) -> PackedIndex:
         """Encode token-packed batches from :func:`packed_encode_batches`.

@@ -226,7 +226,8 @@ class RetrieverEncoder(nn.Module):
           (no attention mask in the reference scatter) and those pad hidden
           states do not exist in a packed row.
 
-        colbert needs one common L per document and raises.
+        colbert raises here (it emits token reps, not per-slot planes);
+        its packed path is :meth:`encode_tokens_packed`.
         """
         cfg = self.cfg
         if cfg.model_type not in ("dense", "dhr", "dlr", "agg"):
@@ -322,6 +323,36 @@ class RetrieverEncoder(nn.Module):
         cls_h = jnp.take_along_axis(hidden, seg_start[:, :, None], axis=1)
         semantic = self.pooler(cls_h) if self._use_pooler else cls_h
         return vals, idxs, semantic.astype(jnp.float32)
+
+    def encode_tokens_packed(
+        self, input_ids, segment_ids, position_ids, deterministic: bool = True
+    ):
+        """ColBERT packed token reps: ``(B, L, Dp)``, pad positions zeroed.
+
+        The packed-row twin of :meth:`_colbert_reps` for the passage side
+        (queries are near-uniform short and use the plain path; their x32
+        length normalization also needs per-row lengths).  The head is
+        purely per-token (projection + pad zeroing, reference
+        ColBERT/modeling.py:221-252), so packing only changes the
+        transformer call: block-diagonal attention + per-segment positions,
+        exactly :meth:`encode_packed`'s backbone invocation.  Each segment
+        is laid out ``[CLS], t1, ...`` within its row, so the host unpacks
+        per-document reps with one contiguous slice per segment — the
+        (N, L, D) layout :func:`dhr_tpu.retrieval.colbert` scores.
+        """
+        cfg = self.cfg
+        if cfg.model_type != "colbert":
+            raise ValueError(
+                f"encode_tokens_packed is colbert-only, not {cfg.model_type}"
+            )
+        attn = (segment_ids > 0).astype(jnp.int32)
+        hidden = self.backbone(
+            input_ids, attn, deterministic=deterministic,
+            position_ids=position_ids, segment_ids=segment_ids,
+        )
+        reps = self.pooler(hidden)
+        reps = reps * (segment_ids > 0)[..., None].astype(reps.dtype)
+        return reps.astype(jnp.float32)
 
     def _agg_packed(self, hidden, logits, input_ids, segment_ids,
                     position_ids, seg_start):
@@ -434,4 +465,12 @@ class BiEncoder(nn.Module):
             input_ids, segment_ids, position_ids, seg_start,
             out_dim=out_dim, remove_dims=remove_dims,
             deterministic=deterministic,
+        )
+
+    def encode_tokens_packed(
+        self, input_ids, segment_ids, position_ids, deterministic: bool = True
+    ):
+        """Packed-row colbert passage token reps (see RetrieverEncoder)."""
+        return self.encoder_p.encode_tokens_packed(
+            input_ids, segment_ids, position_ids, deterministic=deterministic
         )

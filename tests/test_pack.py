@@ -144,7 +144,9 @@ def test_packed_rejects_agg_skip_mlm(rng):
         raise AssertionError("agg skip_mlm packed encode should raise")
 
 
-def test_packed_rejects_colbert(rng):
+def test_packed_plane_rejects_colbert(rng):
+    """colbert must not silently emit packed PLANES (it has no packed-plane
+    rep); the error routes users to its token-rep packed path."""
     model, params, cfg = _make_model("colbert")
     enc = Encoder(model, params, cfg, EncodeConfig(batch_size=4, remove_dims=6))
     ids, toks = _corpus(rng, n=4)
@@ -152,9 +154,49 @@ def test_packed_rejects_colbert(rng):
     try:
         enc.encode_corpus_packed(gen)
     except ValueError as e:
-        assert "packed encode" in str(e)
+        assert "encode_tokens_packed" in str(e)
     else:
-        raise AssertionError("colbert packed encode should raise")
+        raise AssertionError("colbert packed plane encode should raise")
+
+
+def test_packed_tokens_match_plain_colbert(rng):
+    """colbert packed token reps == plain per-document padded reps.
+
+    The head is purely per-token (projection + pad zeroing), so packing only
+    changes the transformer call; each document's segment is laid out
+    [CLS], t1, ... and the host unpack must restore the exact (N, L, D)
+    layout :mod:`dhr_tpu.retrieval.colbert` scores, including zero rows past
+    the document's length."""
+    model, params, cfg = _make_model("colbert")
+    enc = Encoder(model, params, cfg, EncodeConfig(batch_size=4, remove_dims=6))
+    ids, toks = _corpus(rng)
+
+    plain, plain_ids = enc.encode_tokens(
+        _plain_batches(ids, toks, 4, ROW_LEN), "passage"
+    )
+    gen, order = packed_encode_batches(ids, toks, 4, ROW_LEN, 4, CLS, SEP)
+    packed, packed_ids = enc.encode_tokens_packed(gen, ROW_LEN)
+
+    inv = np.argsort(order)
+    assert [packed_ids[i] for i in inv] == list(plain_ids)
+    np.testing.assert_allclose(
+        np.asarray(packed, np.float32)[inv],
+        np.asarray(plain, np.float32),
+        atol=2e-4, rtol=1e-3,
+    )
+    # zero rows past each document's wrapped length survive the unpack
+    ln = len(wrap_specials(toks[0], ROW_LEN, CLS, SEP))
+    assert np.all(np.asarray(packed)[inv][0, ln:] == 0)
+
+    # MaxSim scores from packed reps == from plain reps
+    from dhr_tpu.retrieval.colbert import maxsim_pairwise
+
+    q = plain[:4]  # any reps work as the query side for score parity
+    s_plain = np.asarray(maxsim_pairwise(jnp.asarray(q),
+                                         jnp.asarray(plain[:4])))
+    s_packed = np.asarray(maxsim_pairwise(jnp.asarray(q),
+                                          jnp.asarray(packed[inv][:4])))
+    np.testing.assert_allclose(s_packed, s_plain, atol=1e-3, rtol=1e-4)
 
 
 def test_packed_mesh_encode_matches_single_device(rng, eight_devices):
@@ -216,3 +258,39 @@ def test_cli_encode_pack_matches_plain(tmp_path, rng):
                                np.asarray(a.values, np.float32),
                                atol=2e-3, rtol=2e-2)
     assert (a.indices == b.indices).mean() > 0.98
+
+
+def test_cli_encode_pack_colbert_matches_plain(tmp_path, rng):
+    """`encode --pack --model colbert`: same token reps/ids as pad-to-max."""
+    from dhr_tpu.cli.main import main
+    from dhr_tpu.data.examples import write_jsonl
+
+    corpus_rows = [
+        {"text_id": f"d{i}",
+         "text": rng.integers(2, VOCAB, int(rng.integers(3, 36))).tolist()}
+        for i in range(16)
+    ]
+    corpus_path = str(tmp_path / "corpus.jsonl")
+    write_jsonl(corpus_path, corpus_rows)
+
+    common = ["--model", "colbert", "--tiny", "--tiny-vocab", str(VOCAB),
+              "--projection-dim", "4",
+              "--cls-token-id", "1", "--sep-token-id", "0",
+              "--q-max-len", "6", "--p-max-len", str(ROW_LEN),
+              "--input", corpus_path, "--batch-size", "4"]
+    plain, packed = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    main(["encode", *common, "--output", plain])
+    main(["encode", *common, "--output", packed, "--pack",
+          "--pack-segments", "4"])
+
+    a = np.load(plain)["token"]
+    b = np.load(packed)["token"]
+    with open(plain + ".ids.json") as f:
+        ids_a = json.load(f)
+    with open(packed + ".ids.json") as f:
+        ids_b = json.load(f)
+    assert ids_a == ids_b
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(b, np.float32),
+                               np.asarray(a, np.float32),
+                               atol=2e-3, rtol=2e-2)
