@@ -551,6 +551,9 @@ def cmd_search(args):
             candidate_recall=args.candidate_recall,
             candidate_bf16=not args.no_candidate_bf16,
             candidate_slices=args.candidate_slices,
+            fused_candidates={"off": False, "on": True,
+                              "auto": "auto"}[args.fused_candidates],
+            candidate_block=args.candidate_block,
         ),
     )
     results, scores = searcher.search_run(qids, qv, qi)
@@ -624,6 +627,9 @@ def cmd_serve(args):
             candidate_recall=args.candidate_recall,
             candidate_bf16=not args.no_candidate_bf16,
             candidate_slices=args.candidate_slices,
+            fused_candidates={"off": False, "on": True,
+                              "auto": "auto"}[args.fused_candidates],
+            candidate_block=args.candidate_block,
         ),
     )
     small = None
@@ -1054,6 +1060,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(approx_max_k is k-bound; measured 17.3 -> 12.1 ms "
                         "at S=32, pool recall unchanged); 1 disables, "
                         "default auto")
+    p.add_argument("--fused-candidates", default="off",
+                   choices=["off", "on", "auto"],
+                   help="fuse candidate block-reduction into the theta-pass "
+                        "kernel (each candidate-block row group reduces to "
+                        "its max in VMEM; the (B, N) score plane is never "
+                        "written; power-of-two blocks pack the winner id "
+                        "into the score's low mantissa bits, so no row-id "
+                        "gather). 'auto' = on when the reduced pool "
+                        "comfortably covers the candidate count")
+    p.add_argument("--candidate-block", type=int, default=8,
+                   help="row-group size for --fused-candidates")
     p.add_argument("--layout", default="auto",
                    choices=["auto", "both", "row", "dim"],
                    help="device plane layout: 'both' row+dim-major "
@@ -1104,6 +1121,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-candidate-bf16", action="store_true")
     p.add_argument("--candidate-slices", default="auto",
                    help="stratified candidate selection (see 'search')")
+    p.add_argument("--fused-candidates", default="off",
+                   choices=["off", "on", "auto"],
+                   help="fused candidate block-reduction "
+                        "(see 'search --fused-candidates')")
+    p.add_argument("--candidate-block", type=int, default=8,
+                   help="row-group size for --fused-candidates")
     p.add_argument("--layout", default="auto",
                    choices=["auto", "both", "row", "dim"],
                    help="device plane layout (see 'search --layout')")

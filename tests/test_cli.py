@@ -53,6 +53,16 @@ def test_densify_index_search_eval_pipeline(tmp_path, rng):
     qrels.write_text("q0 0 d0 1\nq1 0 d1 1\n")
     main(["eval", "--qrels", str(qrels), "--run", run])
 
+    # --fused-candidates plumbs through and degrades gracefully off-TPU
+    # (pallas_ok is False on the CPU backend, so the searcher falls back to
+    # the plain path; results must be unchanged)
+    run2 = str(tmp_path / "result_fused.trec")
+    main(["search", "--index-path", merged, "--query-path", qnpz,
+          "--output", run2, "--theta", "0.0", "--rerank", "--topk", "5",
+          "--query-batch", "2", "--fused-candidates", "auto",
+          "--candidate-block", "8"])
+    assert open(run2).read().splitlines()
+
 
 def test_merge_runs_cli(tmp_path):
     from dhr_tpu.retrieval import read_run, write_run
