@@ -199,3 +199,37 @@ def test_searcher_fused_candidates_matches_plain(rng):
     # on this seeded fixture
     np.testing.assert_array_equal(rp[:, :10], rf[:, :10])
     np.testing.assert_allclose(sp[:, :10], sf[:, :10], rtol=1e-5, atol=1e-5)
+
+
+def test_searcher_fused_candidates_sharded_mesh(rng, eight_devices):
+    """Fused packed-id candidates on an 8-way index mesh == unsharded.
+
+    Exercises the shard-offset arithmetic after the packed decode (each
+    shard's winners decode to shard-local rows, then ``rows + offset``)
+    and the per-shard-topk -> all_gather -> global-topk merge."""
+    from dhr_tpu.parallel import make_mesh
+    from dhr_tpu.retrieval import (
+        DeviceIndex, PackedIndex, SearchConfig, Searcher,
+    )
+
+    N, lex, cls = 2048, 24, 8
+    D = lex + cls
+    values = (rng.random((N, D)) + 0.05).astype(np.float16)
+    indices = rng.integers(0, 6, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex)
+    qv = values[:8].astype(np.float32)
+    qi = indices[:8].astype(np.int32)
+
+    cfg = SearchConfig(topk=10, mode="gip", theta=0.1, rerank=True,
+                       agip_topk=128, query_batch=8, use_pallas=True,
+                       pallas_interpret=True, pallas_n_tile=256,
+                       approx_candidates=False,
+                       fused_candidates=True, candidate_block=2)
+    single = Searcher(DeviceIndex.from_packed(packed), cfg)
+    mesh = make_mesh(eight_devices, axis="index")
+    sharded = Searcher(DeviceIndex.from_packed(packed, mesh=mesh), cfg)
+    ss, rs = single.search(qv, qi)
+    sm, rm = sharded.search(qv, qi)
+    np.testing.assert_array_equal(rs[:, :10], rm[:, :10])
+    np.testing.assert_allclose(ss[:, :10], sm[:, :10], rtol=1e-5, atol=1e-5)
