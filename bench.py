@@ -289,4 +289,21 @@ def main():
 
 if __name__ == "__main__":
     sys.stderr.write("bench: starting\n")
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - keep the one-JSON-line contract
+        # The dev relay's TPU leg can be UNAVAILABLE for stretches (backend
+        # init retries ~50 min, then raises). Emit the contractual single
+        # JSON line with the error so the captured artifact is diagnosable
+        # instead of an empty stdout, then fail the process.
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "GIP queries/sec, 1 chip (FAILED)",
+            "value": 0.0,
+            "unit": "queries/sec",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(1)
