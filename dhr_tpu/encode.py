@@ -465,8 +465,20 @@ def plan_packing(lengths, row_len: int, max_segments: int):
     in slot order.  Every item appears exactly once; items longer than
     ``row_len`` are planned at ``row_len`` (they get a row to themselves and
     are truncated at collate time, like the plain path's p_max_len cut).
+
+    The C++ twin (``native.plan_packing_native``, same plan item for item —
+    pinned by test_native) takes the corpus-scale path: one native pass
+    instead of an 8.8M-iteration Python loop.
     """
     import bisect
+
+    from dhr_tpu import native
+
+    planned = native.plan_packing_native(lengths, row_len, max_segments)
+    if planned is not None:
+        items, offsets = planned
+        return [items[offsets[r]:offsets[r + 1]]
+                for r in range(len(offsets) - 1)]
 
     # floor at 1: wrap_specials emits at least one token for an empty item
     # ("t or [0]"), so planning it at 0 could overfill a row at collate time

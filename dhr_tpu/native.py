@@ -48,13 +48,29 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    so = _SO if os.path.exists(_SO) else _build()
-    if so is None:
-        return None
-    try:
-        lib = ctypes.CDLL(so)
-    except OSError:
-        return None
+    # rebuild when the source is newer than the cached .so (a stale library
+    # raises AttributeError at symbol binding for entry points added since)
+    fresh = (
+        os.path.exists(_SO)
+        and (not os.path.exists(_SRC)
+             or os.path.getmtime(_SO) >= os.path.getmtime(_SRC))
+    )
+    so = _SO if fresh else _build()
+    for attempt in range(2):
+        if so is None:
+            return None
+        try:
+            _lib = _bind(ctypes.CDLL(so))
+            return _lib
+        except (OSError, AttributeError):
+            # corrupt or out-of-date .so despite the mtime check: one
+            # forced rebuild, then give up to the Python fallbacks
+            _lib = None
+            so = _build() if attempt == 0 else None
+    return None
+
+
+def _bind(lib):
     lib.dhr_load_corpus.restype = ctypes.POINTER(_CorpusStruct)
     lib.dhr_load_corpus.argtypes = [ctypes.c_char_p]
     lib.dhr_free_corpus.argtypes = [ctypes.POINTER(_CorpusStruct)]
@@ -83,7 +99,12 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
     ]
-    _lib = lib
+    lib.dhr_plan_packing.restype = ctypes.c_int64
+    lib.dhr_plan_packing.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
     return lib
 
 
@@ -264,3 +285,26 @@ def merge_topk_shards(scores: np.ndarray, ids: np.ndarray, k_out: int):
         _ptr(out_s, ctypes.c_float), _ptr(out_i, ctypes.c_int64),
     )
     return out_s, out_i
+
+
+def plan_packing_native(lengths, row_len: int, max_segments: int):
+    """C++ twin of :func:`dhr_tpu.encode.plan_packing` (same plan item for
+    item); returns None when the library is unavailable.
+
+    Returns ``(items, row_offsets)`` int64 arrays — row ``r`` packs original
+    item indices ``items[row_offsets[r]:row_offsets[r+1]]`` in slot order.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    lengths = np.ascontiguousarray(
+        np.clip(np.asarray(lengths, np.int64), 1, row_len)
+    )
+    n = len(lengths)
+    items = np.zeros(n, np.int64)
+    offsets = np.zeros(n + 1, np.int64)
+    n_rows = lib.dhr_plan_packing(
+        _ptr(lengths, ctypes.c_int64), n, row_len, max_segments,
+        _ptr(items, ctypes.c_int64), _ptr(offsets, ctypes.c_int64),
+    )
+    return items, offsets[: n_rows + 1]

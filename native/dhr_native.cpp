@@ -15,6 +15,9 @@
 //   - dhr_densify_csr: fold-max densification of CSR sparse vectors into
 //     (value, argmax) planes with collision counting (the reference's
 //     per-token Python loop, densify/densify_corpus.py:29-52).
+//   - dhr_plan_packing: first-fit-decreasing token-packing planner (the
+//     encode --pack twin; one C++ pass instead of an 8.8M-iteration Python
+//     loop at corpus scale)
 //   - dhr_merge_topk: k-way merge of per-shard (score, id) lists (the faiss
 //     ResultHeap role, reference tevatron/faiss_retriever/reducer.py).
 //
@@ -273,6 +276,54 @@ void dhr_merge_topk(const float* scores, const int64_t* ids, int64_t n_shards,
       }
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// first-fit-decreasing token-packing planner (encode --pack)
+// ---------------------------------------------------------------------------
+
+// The exact algorithm of dhr_tpu.encode.plan_packing (same outputs item for
+// item, so the Python/C++ twins are interchangeable): histogram buckets per
+// length (FIFO within a length keeps plan order stable in input order), an
+// ascending `avail` vector of distinct lengths with items left, and per slot
+// a binary search for the longest remaining length that still fits.
+//
+// lengths: (n) i64, pre-clipped by the caller to [1, row_len].
+// out_items: (n) i64 — item indices in plan order.
+// out_row_offsets: (n + 1) i64 — row r spans out_items[off[r]:off[r+1]];
+// every row holds at least one item (the smallest remaining length always
+// fits an empty row), so n rows is the worst case. Returns the row count.
+int64_t dhr_plan_packing(const int64_t* lengths, int64_t n, int32_t row_len,
+                         int32_t max_segments, int64_t* out_items,
+                         int64_t* out_row_offsets) {
+  std::vector<std::vector<int64_t>> by_len(row_len + 1);
+  for (int64_t i = 0; i < n; i++) by_len[lengths[i]].push_back(i);
+  std::vector<int64_t> heads(row_len + 1, 0);
+  std::vector<int32_t> avail;
+  for (int32_t l = 1; l <= row_len; l++)
+    if (!by_len[l].empty()) avail.push_back(l);
+
+  int64_t n_rows = 0, pos = 0;
+  out_row_offsets[0] = 0;
+  while (!avail.empty()) {
+    int32_t cap = row_len;
+    int32_t in_row = 0;
+    while (in_row < max_segments) {
+      // rightmost avail length <= cap (bisect_right - 1)
+      auto it = std::upper_bound(avail.begin(), avail.end(), cap);
+      if (it == avail.begin()) break;
+      --it;
+      int32_t l = *it;
+      auto& q = by_len[l];
+      out_items[pos++] = q[heads[l]++];
+      if (heads[l] == (int64_t)q.size()) avail.erase(it);
+      cap -= l;
+      in_row++;
+    }
+    n_rows++;
+    out_row_offsets[n_rows] = pos;
+  }
+  return n_rows;
 }
 
 }  // extern "C"

@@ -111,3 +111,32 @@ def test_merge_topk_shards(rng):
         )[:5]
         np.testing.assert_allclose(out_s[b], [p[0] for p in pool], rtol=1e-6)
         np.testing.assert_array_equal(out_i[b], [p[1] for p in pool])
+
+
+def test_plan_packing_native_matches_python(rng, monkeypatch):
+    """C++ planner == Python planner item for item (FIFO/bisect semantics),
+    across degenerate shapes: empty, all-oversize, single-length runs."""
+    import dhr_tpu.encode as enc_mod
+    from dhr_tpu import native as native_mod
+
+    if not native_mod.available():  # pragma: no cover - compilerless env
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    cases = [
+        rng.integers(1, 90, 500).tolist(),        # mixed, some > row_len
+        [70] * 17,                                # single length
+        [100, 100, 100],                          # all oversize (clipped)
+        [],                                       # empty
+        rng.integers(1, 12, 64).tolist(),         # many per row (seg cap)
+    ]
+    for lengths in cases:
+        got = enc_mod.plan_packing(lengths, 64, max_segments=4)
+        with monkeypatch.context() as m:
+            m.setattr(native_mod, "plan_packing_native",
+                      lambda *a, **k: None)
+            want = enc_mod.plan_packing(lengths, 64, max_segments=4)
+        assert len(got) == len(want), lengths[:8]
+        for rg, rw in zip(got, want):
+            assert [int(i) for i in rg] == list(rw)
