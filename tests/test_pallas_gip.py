@@ -201,6 +201,42 @@ def test_searcher_fused_candidates_matches_plain(rng):
     np.testing.assert_allclose(sp[:, :10], sf[:, :10], rtol=1e-5, atol=1e-5)
 
 
+def test_searcher_fused_candidates_stratified(rng):
+    """Fused packed-id candidates + stratified per-slice selection: the
+    positions returned by _stratified_approx are plane positions (slice
+    offset added back), so the packed decode must map them to the same rows
+    as the exact-selection path when the pool covers the corpus."""
+    from dhr_tpu.retrieval import (
+        DeviceIndex, PackedIndex, SearchConfig, Searcher,
+    )
+
+    N, lex, cls = 4096, 24, 8
+    D = lex + cls
+    values = (rng.random((N, D)) + 0.05).astype(np.float16)
+    indices = rng.integers(0, 6, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex)
+    qv = values[:8].astype(np.float32)
+    qi = indices[:8].astype(np.int32)
+
+    common = dict(topk=10, mode="gip", theta=0.1, rerank=True,
+                  agip_topk=256, query_batch=8, use_pallas=True,
+                  pallas_interpret=True, pallas_n_tile=512,
+                  fused_candidates=True, candidate_block=2)
+    exact = Searcher(DeviceIndex.from_packed(packed),
+                     SearchConfig(approx_candidates=False, **common))
+    strat = Searcher(DeviceIndex.from_packed(packed),
+                     SearchConfig(approx_candidates=True,
+                                  candidate_recall=0.99,
+                                  candidate_slices=4, **common))
+    se, re_ = exact.search(qv, qi)
+    ss, rs = strat.search(qv, qi)
+    # 256 candidates of 2048 block winners at recall .99 x exact rerank:
+    # top-10 should agree on this seeded fixture
+    np.testing.assert_array_equal(re_[:, :10], rs[:, :10])
+    np.testing.assert_allclose(se[:, :10], ss[:, :10], rtol=1e-5, atol=1e-5)
+
+
 def test_searcher_fused_candidates_sharded_mesh(rng, eight_devices):
     """Fused packed-id candidates on an 8-way index mesh == unsharded.
 
