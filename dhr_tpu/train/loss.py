@@ -294,6 +294,72 @@ def colbert_loss(
     return loss * loss_scale, scores
 
 
+def colbert_loss_packed(
+    q_reps, packed_tok, segment_ids, position_ids, seg_start, slot_pos,
+    n_passages: int, p_len: int,
+    teacher_scores: jax.Array | None = None,
+    temperature: float = 1.0,
+    loss_scale: float = 1.0,
+):
+    """Packed-passage twin of :func:`colbert_loss`.
+
+    ``packed_tok`` is the packed row plane ``(B, L, D)`` from
+    ``encode_tokens_packed`` (pads zeroed, each segment laid out
+    ``[CLS], t1, ...``).  MaxSim runs directly on the packed layout — the
+    per-passage padded reps are never materialized: one
+    ``(Q, B, Lq, L)`` similarity plane, then a masked max per slot.  This
+    also removes pad FLOPs from the similarity einsum itself (packed rows
+    carry ~row-fill real tokens vs the plain path's per-passage padding).
+
+    Exact-parity detail: the plain path's padded positions are zero
+    VECTORS, so each of its maxes has a 0-score candidate whenever the
+    passage is shorter than ``p_len`` (reference ColBERT/modeling.py
+    masks reps to zero, then maxes over all positions).  The packed masked
+    max floors at 0 only for those slots (``token count < p_len - 1``);
+    full-length passages keep their genuine (possibly negative) max.
+    """
+    Q = q_reps.token.shape[0]
+    B, S = seg_start.shape
+    ptok = packed_tok.astype(jnp.float32)
+    sim = jnp.einsum(
+        "qik,blk->qbil",
+        q_reps.token.astype(jnp.float32), ptok,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Q, B, Lq, L)
+    tok_ok = (segment_ids > 0) & (position_ids > 0)  # (B, L)
+    neg = jnp.float32(-jnp.inf)
+    slot_max, slot_cnt = [], []
+    for s in range(S):
+        m = ((segment_ids == (s + 1)) & tok_ok)[None, :, None, :]
+        slot_max.append(jnp.max(jnp.where(m, sim, neg), axis=-1))  # (Q,B,Lq)
+        slot_cnt.append(jnp.sum(m[0, :, 0, :], axis=-1))  # (B,)
+    mx = jnp.stack(slot_max, axis=2)  # (Q, B, S, Lq)
+    cnt = jnp.stack(slot_cnt, axis=1)  # (B, S)
+    has_pad = (cnt < (p_len - 1))[None, :, :, None]
+    mx = jnp.where(has_pad, jnp.maximum(mx, 0.0), mx)
+    # empty slots are all -inf after the mask; zero them (their columns are
+    # never selected by slot_pos, this only keeps the sum finite)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    tok_scores = jnp.sum(mx, axis=-1).reshape(Q, B * S)[:, slot_pos]
+
+    cls_p = jnp.take_along_axis(
+        ptok, seg_start[:, :, None], axis=1
+    ).reshape(B * S, -1)[slot_pos]  # (P, D)
+    cls_scores = jnp.einsum(
+        "qk,pk->qp", q_reps.token_cls[:, 0].astype(jnp.float32), cls_p,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = tok_scores + cls_scores
+    if teacher_scores is not None:
+        expanded = expand_teacher_margins(
+            teacher_scores * temperature, scores.shape[1]
+        )
+        loss = kl_vs_teacher(scores, expanded, 1.0)
+    else:
+        loss = kl_onehot(scores, n_passages)
+    return loss * loss_scale, scores
+
+
 def colbert_teacher_scores(q_reps, p_reps) -> jax.Array:
     """Listwise teacher scores for TCT distillation (stop-gradient)."""
     scores = listwise_maxsim(q_reps.token, p_reps.token) + listwise_maxsim(

@@ -134,15 +134,19 @@ def make_packed_train_step(
     — dropout masks differ by layout, an equally-valid sample of the same
     distribution.
 
-    Unsupported here: colbert (token reps need one common L), the in-graph
-    TCT teacher (it would need its own plain passage batch), dlr_out_dim
-    None (the raw (B, V) plane is never materialized), and grad-cache
-    (pack the chunks instead by lowering pack_rows).  Data-provided
-    listwise ``teacher_scores`` matrices work unchanged.
+    colbert packs too: MaxSim runs directly on the packed token plane
+    (``colbert_loss_packed``) — per-passage padded reps never materialize,
+    and the similarity einsum itself skips the pad FLOPs.
+
+    Unsupported here: the in-graph TCT teacher (it would need its own plain
+    passage batch), dlr_out_dim None (the raw (B, V) plane is never
+    materialized), and grad-cache (pack the chunks instead by lowering
+    pack_rows).  Data-provided ``teacher_scores`` work unchanged.
     """
-    if cfg.model_type not in ("dense", "dhr", "dlr", "agg"):
+    if cfg.model_type not in ("dense", "dhr", "dlr", "agg", "colbert"):
         raise ValueError(
-            f"packed training supports dense/dhr/dlr/agg, not {cfg.model_type}"
+            f"packed training supports dense/dhr/dlr/agg/colbert, not "
+            f"{cfg.model_type}"
         )
     if cfg.model_type == "agg" and cfg.skip_mlm:
         raise ValueError(
@@ -168,6 +172,22 @@ def make_packed_train_step(
             rngs={"dropout": q_rng},
         )
         pp = batch["packed_passage"]
+        if cfg.model_type == "colbert":
+            packed_tok = model.apply(
+                {"params": params},
+                pp["input_ids"], pp["segment_ids"], pp["position_ids"],
+                deterministic=False,
+                method="encode_tokens_packed",
+                rngs={"dropout": p_rng},
+            )
+            return losses.colbert_loss_packed(
+                q_reps, packed_tok, pp["segment_ids"], pp["position_ids"],
+                pp["seg_start"], pp["slot_pos"], loss_cfg.n_passages,
+                p_len=pp["input_ids"].shape[1],
+                teacher_scores=batch.get("teacher_scores"),
+                temperature=loss_cfg.temperature,
+                loss_scale=loss_cfg.loss_scale,
+            )
         vals, idxs, semantic = model.apply(
             {"params": params},
             pp["input_ids"], pp["segment_ids"], pp["position_ids"],

@@ -81,7 +81,8 @@ def _leaf_close(a, b, atol):
                                rtol=1e-4)
 
 
-@pytest.mark.parametrize("model_type", ["dense", "dhr", "dlr", "agg"])
+@pytest.mark.parametrize("model_type",
+                         ["dense", "dhr", "dlr", "agg", "colbert"])
 def test_packed_step_matches_plain(rng, model_type):
     cfg = tiny_retriever(model_type)
     exs = make_examples(rng)
@@ -123,6 +124,54 @@ def test_packed_step_matches_plain_kd_teacher_scores(rng):
     assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), abs=1e-5)
 
 
+def test_packed_colbert_full_length_passage(rng):
+    """A passage that fills its row exactly (no pads) must keep its genuine
+    — possibly negative — MaxSim terms: the plain path only has 0-score
+    zero-vector candidates when the row has pads, and the packed twin's
+    floor rule must replicate that boundary exactly."""
+    cfg = tiny_retriever("colbert")
+    exs = []
+    for _ in range(B):
+        q = rng.integers(2, VOCAB, Q_LEN - 2).tolist()
+        ps = [rng.integers(2, VOCAB, P_LEN - 2).tolist()]  # wraps to P_LEN
+        ps += [rng.integers(2, VOCAB, 4).tolist()
+               for _ in range(NPSG - 1)]
+        exs.append((q, ps, None))
+    plain_b = collate_train(exs, Q_LEN, P_LEN, cls_id=CLS, sep_id=SEP)
+    packed_b = collate_train_packed(exs, Q_LEN, P_LEN, pack_rows=8,
+                                    pack_segments=3, cls_id=CLS, sep_id=SEP)
+    loss_cfg = LossConfig(n_passages=NPSG)
+    model, state = init_state(cfg, plain_b)
+    key = jax.random.PRNGKey(7)
+    s1, m1 = jax.jit(make_train_step(model, cfg, loss_cfg))(
+        state, jax.tree.map(jnp.asarray, plain_b), key)
+    s2, m2 = jax.jit(make_packed_train_step(model, cfg, loss_cfg))(
+        state, jax.tree.map(jnp.asarray, packed_b), key)
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), abs=1e-5)
+    jax.tree.map(lambda a, b: _leaf_close(a, b, 1e-5), s1.params, s2.params)
+
+
+def test_packed_colbert_teacher_margins(rng):
+    """Per-query (B, n) teacher margins expand onto the block diagonal
+    identically through the packed colbert loss."""
+    cfg = tiny_retriever("colbert")
+    exs = make_examples(rng)
+    plain_b = collate_train(exs, Q_LEN, P_LEN, cls_id=CLS, sep_id=SEP)
+    packed_b = collate_train_packed(exs, Q_LEN, P_LEN, pack_rows=8,
+                                    pack_segments=3, cls_id=CLS, sep_id=SEP)
+    teacher = rng.normal(size=(B, NPSG)).astype(np.float32)
+    plain_b["teacher_scores"] = teacher
+    packed_b["teacher_scores"] = teacher
+    loss_cfg = LossConfig(n_passages=NPSG)
+    model, state = init_state(cfg, plain_b)
+    key = jax.random.PRNGKey(7)
+    _, m1 = jax.jit(make_train_step(model, cfg, loss_cfg))(
+        state, jax.tree.map(jnp.asarray, plain_b), key)
+    _, m2 = jax.jit(make_packed_train_step(model, cfg, loss_cfg))(
+        state, jax.tree.map(jnp.asarray, packed_b), key)
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), abs=1e-5)
+
+
 def test_collate_packed_fallback_degenerate(rng):
     """A plan overflowing pack_rows falls back to one passage per row."""
     exs = make_examples(rng)
@@ -138,9 +187,6 @@ def test_collate_packed_fallback_degenerate(rng):
 
 
 def test_packed_step_rejects_unsupported():
-    cfg = tiny_retriever("colbert")
-    with pytest.raises(ValueError, match="packed training"):
-        make_packed_train_step(BiEncoder(cfg), cfg, LossConfig())
     cfg = tiny_retriever("dhr")
     with pytest.raises(ValueError, match="TCT"):
         make_packed_train_step(
