@@ -238,15 +238,11 @@ class Encoder:
         if self._encode_packed_tokens is None:
             self._encode_packed_tokens = self._build_packed_tokens()
         reps_out, ids_out = [], []
-        for batch in batches:
-            slot_ids = batch["slot_ids"]
-            seg_start = np.asarray(batch["seg_start"])
-            segment_ids = np.asarray(batch["segment_ids"])
-            reps = np.asarray(self._encode_packed_tokens(
-                jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["segment_ids"]),
-                jnp.asarray(batch["position_ids"]),
-            ))
+        pending = None  # double buffer (see _run_batches)
+
+        def _drain(pending):
+            slot_ids, seg_start, segment_ids, reps_dev = pending
+            reps = np.asarray(reps_dev)
             n_docs = sum(len(s) for s in slot_ids)
             out = np.zeros((n_docs, out_len, reps.shape[-1]), np.float16)
             d = 0
@@ -261,6 +257,19 @@ class Encoder:
                     ids_out.append(sid)
                     d += 1
             reps_out.append(out)
+
+        for batch in batches:
+            reps_dev = self._encode_packed_tokens(
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["segment_ids"]),
+                jnp.asarray(batch["position_ids"]),
+            )
+            if pending is not None:
+                _drain(pending)
+            pending = (batch["slot_ids"], np.asarray(batch["seg_start"]),
+                       np.asarray(batch["segment_ids"]), reps_dev)
+        if pending is not None:
+            _drain(pending)
         return np.concatenate(reps_out, axis=0), ids_out
 
     def encode_corpus_packed(self, batches: Iterable[dict]) -> PackedIndex:
@@ -274,6 +283,14 @@ class Encoder:
         if self._encode_packed is None:
             self._encode_packed = self._build_packed()
         values_out, indices_out, ids_out = [], [], []
+        pending = None  # double buffer (see _run_batches)
+
+        def _drain(pending):
+            valid, vals, idxs = pending
+            values_out.append(np.asarray(vals)[valid])
+            if idxs is not None:
+                indices_out.append(np.asarray(idxs)[valid])
+
         for batch in batches:
             slot_ids = batch["slot_ids"]
             seg_start = np.asarray(batch["seg_start"])
@@ -287,10 +304,11 @@ class Encoder:
             for r, sids in enumerate(slot_ids):
                 valid[r, : len(sids)] = True
                 ids_out.extend(sids)
-            valid = valid.reshape(-1)
-            values_out.append(np.asarray(vals)[valid])
-            if idxs is not None:
-                indices_out.append(np.asarray(idxs)[valid])
+            if pending is not None:
+                _drain(pending)
+            pending = (valid.reshape(-1), vals, idxs)
+        if pending is not None:
+            _drain(pending)
         values = np.concatenate(values_out, axis=0)
         indices = np.concatenate(indices_out, axis=0) if indices_out else None
         lex = self.lex_dim if self.lex_dim > 0 else values.shape[1]
@@ -313,6 +331,17 @@ class Encoder:
     def _run_batches(self, encode_fn, batches) -> tuple[np.ndarray, np.ndarray | None, list]:
         bs = self.encode_cfg.batch_size
         values_out, indices_out, ids_out = [], [], []
+        pending = None  # (n, device outputs) — double buffer: the host
+
+        # fetch of batch N overlaps the device's compute of N+1 (dispatch is
+        # async; a fetch issued before the next dispatch would serialize the
+        # ~31 ms relay round-trip + transfer into every batch)
+        def _drain(pending):
+            n, vals, idxs = pending
+            values_out.append(np.asarray(vals)[:n])
+            if idxs is not None:
+                indices_out.append(np.asarray(idxs)[:n])
+
         for batch in batches:
             ids = list(batch["ids"])
             n = len(ids)
@@ -323,10 +352,12 @@ class Encoder:
                 input_ids = np.pad(input_ids, [(0, pad), (0, 0)])
                 mask = np.pad(mask, [(0, pad), (0, 0)])
             vals, idxs = encode_fn(jnp.asarray(input_ids), jnp.asarray(mask))
-            values_out.append(np.asarray(vals)[:n])
-            if idxs is not None:
-                indices_out.append(np.asarray(idxs)[:n])
+            if pending is not None:
+                _drain(pending)
+            pending = (n, vals, idxs)
             ids_out.extend(ids)
+        if pending is not None:
+            _drain(pending)
         values = np.concatenate(values_out, axis=0)
         indices = np.concatenate(indices_out, axis=0) if indices_out else None
         return values, indices, ids_out
