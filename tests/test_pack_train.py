@@ -273,7 +273,8 @@ def test_packed_resume_matches_uninterrupted_trajectory(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
-def test_run_training_packed_smoke(tmp_path, rng):
+@pytest.mark.parametrize("family", ["dhr", "colbert"])
+def test_run_training_packed_smoke(tmp_path, rng, family):
     """run_training with pack_passages: loss finite, checkpoint written."""
     from dhr_tpu.data import SamplingConfig
     from dhr_tpu.train.driver import RunConfig, run_training
@@ -288,7 +289,7 @@ def test_run_training_packed_smoke(tmp_path, rng):
             "positives": ps[:1],
             "negatives": ps[1:],
         })
-    cfg = tiny_retriever("dhr")
+    cfg = tiny_retriever(family)
     state = run_training(
         cfg,
         LossConfig(n_passages=2, remove_dims=6),
