@@ -25,17 +25,27 @@ def _state_dir(ckpt_dir: str, step: int) -> str:
 
 
 def save_train_state(ckpt_dir: str, state: TrainState) -> str:
-    """Save params/opt_state/step under ``ckpt_dir/step_XXXXXXXX``."""
+    """Save params/opt_state/step under ``ckpt_dir/step_XXXXXXXX``.
+
+    Multi-process safe: with ``jax.process_count() > 1`` the sharded
+    ``jax.Array`` leaves are handed to Orbax directly (a collective save —
+    every process must call this, as the training loop naturally does;
+    ``device_get`` would raise on non-addressable cross-process shards).
+    Single-process keeps the host-copy path (snapshot semantics for the
+    async checkpointer are identical either way — TrainState is functional,
+    the arrays are never mutated).
+    """
     step = int(jax.device_get(state.step))
     path = _state_dir(ckpt_dir, step)
+    if jax.process_count() > 1:
+        params, opt_state = state.params, state.opt_state
+    else:
+        params = jax.device_get(state.params)
+        opt_state = jax.device_get(state.opt_state)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(
             path,
-            {
-                "step": step,
-                "params": jax.device_get(state.params),
-                "opt_state": jax.device_get(state.opt_state),
-            },
+            {"step": step, "params": params, "opt_state": opt_state},
             force=True,  # the end-of-run save may land on a save_steps step
         )
     return path
@@ -98,19 +108,41 @@ def latest_step(ckpt_dir: str) -> int | None:
     return max(steps) if steps else None
 
 
+def _abstract_template(tree):
+    """Shape/dtype/sharding template: restore lands sharded, in place."""
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    return jax.tree.map(leaf, tree)
+
+
 def restore_train_state(
     ckpt_dir: str, state: TrainState, step: int | None = None
 ) -> TrainState:
-    """Restore into the (abstract or concrete) ``state`` template."""
+    """Restore into the (abstract or concrete) ``state`` template.
+
+    Multi-process safe: with ``jax.process_count() > 1`` the template is
+    built from each leaf's shape/dtype/**sharding**, so Orbax restores
+    every process's shards of the global arrays directly onto their
+    devices (a host-copy template would raise on non-addressable shards).
+    """
     if step is None:
         step = latest_step(ckpt_dir)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = _state_dir(ckpt_dir, step)
+    if jax.process_count() > 1:
+        params_t = _abstract_template(state.params)
+        opt_t = _abstract_template(state.opt_state)
+    else:
+        params_t = jax.device_get(state.params)
+        opt_t = jax.device_get(state.opt_state)
     template = {
         "step": int(jax.device_get(state.step)),
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": params_t,
+        "opt_state": opt_t,
     }
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, template)

@@ -65,9 +65,16 @@ def fixture():
     return values, indices, qv, qi, batch, n_psg
 
 
-def run_fixture(num_hosts_override: int | None) -> dict:
+def run_fixture(num_hosts_override: int | None, ckpt_dir: str | None = None
+                ) -> dict:
     """Build hybrid meshes (really-grouped or override-grouped), run the
-    hybrid train step + sharded search, return comparable results."""
+    hybrid train step + sharded search, return comparable results.
+
+    With ``ckpt_dir``: save the post-step FSDP-sharded TrainState through
+    Orbax (a COLLECTIVE save in the two-process run — every process writes
+    its shards), restore it into a fresh sharded template, and run one more
+    step from the restored state — validating multi-process distributed
+    checkpointing end-to-end (the last untested leg of VERDICT r2 #3)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -128,20 +135,43 @@ def run_fixture(num_hosts_override: int | None) -> dict:
         leaf = np.asarray(jax.device_get(
             h_state.params["encoder_q"]["backbone"]["mlm"]["transform"]
             ["kernel"]))
+
+        loss_resumed = None
+        if ckpt_dir is not None:
+            from dhr_tpu.train.checkpoint import (
+                restore_train_state, save_train_state)
+
+            save_train_state(ckpt_dir, h_state)  # collective across procs
+            fresh = TrainState.create(
+                shard_params_fsdp(jax.device_get(init), hmesh, axis="data",
+                                  min_size=64),
+                optax.sgd(1e-3),
+            )
+            restored = restore_train_state(ckpt_dir, fresh)
+            r_leaf = np.asarray(jax.device_get(
+                restored.params["encoder_q"]["backbone"]["mlm"]
+                ["transform"]["kernel"]))
+            np.testing.assert_array_equal(r_leaf, leaf)
+            assert int(jax.device_get(restored.step)) == int(
+                jax.device_get(h_state.step))
+            _, r_metrics = step(restored, h_batch, h_key)
+            loss_resumed = float(jax.device_get(r_metrics["loss"]))
     return {
         "results": {k: list(v) for k, v in results.items()},
         "scores": {k: [float(x) for x in v] for k, v in scores.items()},
         "loss": loss,
+        "loss_resumed": loss_resumed,
         "leaf_sum": float(np.float64(leaf.astype(np.float64).sum())),
         "process_count": int(jax.process_count()),
     }
 
 
-def worker(rank: int, port: int, out: str, single: bool) -> None:
+def worker(rank: int, port: int, out: str, single: bool,
+           ckpt: str | None) -> None:
     import jax
 
     if single:
-        rep = run_fixture(num_hosts_override=2)
+        rep = run_fixture(num_hosts_override=2, ckpt_dir=ckpt)
     else:
         jax.distributed.initialize(
             coordinator_address=f"127.0.0.1:{port}",
@@ -149,7 +179,9 @@ def worker(rank: int, port: int, out: str, single: bool) -> None:
         )
         assert jax.process_count() == 2
         assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
-        rep = run_fixture(num_hosts_override=None)  # REAL process grouping
+        # REAL process grouping; the shared ckpt dir makes the Orbax save
+        # a genuine cross-process collective
+        rep = run_fixture(num_hosts_override=None, ckpt_dir=ckpt)
     if rank == 0:
         with open(out, "w") as f:
             json.dump(rep, f)
@@ -183,9 +215,10 @@ def spawn_two_process(timeout: float = 900.0) -> dict:
 
     d = tempfile.mkdtemp(prefix="dhr_2proc_")
     multi_out = os.path.join(d, "multi.json")
+    ckpt = os.path.join(d, "ckpt")  # SHARED dir: collective orbax save
     procs = [
         _spawn(["--worker", str(r), "--port", str(port),
-                "--out", multi_out], n_dev=4)
+                "--out", multi_out, "--ckpt", ckpt], n_dev=4)
         for r in range(2)
     ]
     outs = []
@@ -212,8 +245,14 @@ def compare(single: dict, multi: dict) -> dict:
         single["loss"], multi["loss"], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
         single["leaf_sum"], multi["leaf_sum"], rtol=1e-5)
+    # the step run FROM the distributed-checkpoint restore must match the
+    # single-process trajectory too (save -> restore -> step is lossless)
+    assert single["loss_resumed"] is not None
+    assert multi["loss_resumed"] is not None
+    np.testing.assert_allclose(
+        single["loss_resumed"], multi["loss_resumed"], rtol=1e-5, atol=1e-6)
     return {"single": single["loss"], "multi": multi["loss"],
-            "rankings_equal": True}
+            "resumed": multi["loss_resumed"], "rankings_equal": True}
 
 
 def orchestrate(timeout: float = 900.0) -> dict:
@@ -222,7 +261,7 @@ def orchestrate(timeout: float = 900.0) -> dict:
     d = tempfile.mkdtemp(prefix="dhr_2proc_")
     single_out = os.path.join(d, "single.json")
     p = _spawn(["--worker", "0", "--port", "0", "--out", single_out,
-                "--single"], n_dev=8)
+                "--single", "--ckpt", os.path.join(d, "ckpt1p")], n_dev=8)
     out, _ = p.communicate(timeout=timeout)
     if p.returncode != 0:
         raise RuntimeError(f"single-process run failed:\n{out[-3000:]}")
@@ -237,12 +276,13 @@ def main():
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--out", default=None)
     ap.add_argument("--single", action="store_true")
+    ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
     if args.worker is not None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        worker(args.worker, args.port, args.out, args.single)
+        worker(args.worker, args.port, args.out, args.single, args.ckpt)
         print(f"worker {args.worker} done")
     else:
         rep = orchestrate()
