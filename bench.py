@@ -226,6 +226,15 @@ def main():
             pallas_unroll=8,
         ),
     )
+    op_cfg = {
+        "query_batch": QUERY_BATCH,
+        "theta": THETA,
+        "agip_topk": 10000,
+        "max_important_dims": MAX_IMPORTANT,
+        "candidate_slices": str(searcher.config.candidate_slices),
+        "fused_candidates": str(searcher.config.fused_candidates),
+        "pallas_unroll": searcher.config.pallas_unroll,
+    }
     qv, qi = synth_queries(rng, N_QUERIES)
 
     # hardware smoke: kernel vs scan on a slice (uses prepared queries so
@@ -271,6 +280,7 @@ def main():
             "index_build_compile_s": round(build_compile_s, 1),
             "warmup_s": round(warm_s, 1),
             "n_queries": N_QUERIES,
+            "operating_point": op_cfg,
             "index_rows": N_ROWS,
             "qps_8.8M_equivalent": round(qps_msmarco_equiv, 2),
             "topk_returned": int(rows.shape[1]),
