@@ -331,7 +331,8 @@ def pallas_gip_candidates(
 
     With ``packed_ids`` (requires power-of-two ``reduce_block``) a SINGLE
     f32 plane is returned, the winner's local index packed into the low
-    mantissa bits; decode the top-k picks with
+    mantissa bits (``out_dtype`` is ignored — the id bits need the f32
+    mantissa); decode the top-k picks with
     :func:`decode_packed_candidates`.
     """
     B, n_imp = imp_vals.shape
