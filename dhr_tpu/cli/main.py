@@ -554,6 +554,8 @@ def cmd_search(args):
             fused_candidates={"off": False, "on": True,
                               "auto": "auto"}[args.fused_candidates],
             candidate_block=args.candidate_block,
+            escalate_pool=args.escalate_pool,
+            escalate_margin=args.escalate_margin,
         ),
     )
     results, scores = searcher.search_run(qids, qv, qi)
@@ -630,6 +632,8 @@ def cmd_serve(args):
             fused_candidates={"off": False, "on": True,
                               "auto": "auto"}[args.fused_candidates],
             candidate_block=args.candidate_block,
+            escalate_pool=args.escalate_pool,
+            escalate_margin=args.escalate_margin,
         ),
     )
     small = None
@@ -1069,6 +1073,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "into the score's low mantissa bits, so no row-id "
                         "gather). 'auto' = on when the reduced pool "
                         "comfortably covers the candidate count")
+    p.add_argument("--escalate-pool", type=int, default=0,
+                   help="two-tier escalation: tier-1 candidate pool size "
+                        "(e.g. 2000); queries whose reranked topk-th score "
+                        "sits within --escalate-margin of the tier-1 "
+                        "stage-1 pool floor re-dispatch at the full "
+                        "--agip-topk. 0 disables")
+    p.add_argument("--escalate-margin", type=float, default=0.0,
+                   help="escalation trigger margin (see --escalate-pool; "
+                        "calibration notes in docs/design.md)")
     p.add_argument("--candidate-block", type=int, default=8,
                    help="row-group size for --fused-candidates")
     p.add_argument("--layout", default="auto",
@@ -1125,6 +1138,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["off", "on", "auto"],
                    help="fused candidate block-reduction "
                         "(see 'search --fused-candidates')")
+    p.add_argument("--escalate-pool", type=int, default=0,
+                   help="two-tier escalation: tier-1 candidate pool size "
+                        "(e.g. 2000); queries whose reranked topk-th score "
+                        "sits within --escalate-margin of the tier-1 "
+                        "stage-1 pool floor re-dispatch at the full "
+                        "--agip-topk. 0 disables")
+    p.add_argument("--escalate-margin", type=float, default=0.0,
+                   help="escalation trigger margin (see --escalate-pool; "
+                        "calibration notes in docs/design.md)")
     p.add_argument("--candidate-block", type=int, default=8,
                    help="row-group size for --fused-candidates")
     p.add_argument("--layout", default="auto",

@@ -120,6 +120,24 @@ class SearchConfig:
     # (design.md round-3 notes).
     fused_candidates: bool | str = False
     candidate_block: int = 8
+    # Two-tier candidate escalation (rerank path): tier 1 searches with a
+    # SMALL candidate pool (``escalate_pool`` rows, e.g. 2000 instead of
+    # agip_topk=10000) — the candidate top-k is k-bound and the rerank
+    # gather is pool-proportional, so the small pool cuts the two stages
+    # that dominate the batch.  Queries whose reranked ``topk``-th score
+    # lands within ``escalate_margin`` of the tier-1 pool's stage-1 floor
+    # (the smallest stage-1 score admitted to the pool — rows outside the
+    # pool score below it, so a tail that close may be cut off) are
+    # re-dispatched once at the full ``agip_topk``.  The TPU-shaped analog
+    # of adaptive-nprobe tricks: most queries pay the small pool, the few
+    # ambiguous ones pay the reference-equivalent full pool.  0 disables.
+    escalate_pool: int = 0
+    # Escalate when (topk-th reranked score) - (stage-1 pool floor) <= this.
+    # The rerank adds the non-scanned query dims' contribution, so the gap
+    # is usually positive; larger margins escalate more queries (higher
+    # recall floor), smaller escalate fewer.  Calibrate against a measured
+    # recall-vs-pool distribution for the corpus (see docs/design.md).
+    escalate_margin: float = 0.0
 
 
 _PALLAS_TILES = (819200, 409600, 262144, 204800, 131072, 102400, 65536, 51200, 32768,
@@ -317,6 +335,25 @@ class Searcher:
                 "rerank needs the row-major planes but the index was built "
                 "layout='dim'; rebuild with layout='both' or disable rerank"
             )
+        if config.escalate_pool:
+            if not config.rerank:
+                raise ValueError("escalate_pool needs rerank=True (the "
+                                 "trigger compares reranked scores to the "
+                                 "stage-1 pool floor)")
+            if not (config.topk <= config.escalate_pool < config.agip_topk):
+                raise ValueError(
+                    f"escalate_pool={config.escalate_pool} must lie in "
+                    f"[topk={config.topk}, agip_topk={config.agip_topk})"
+                )
+            # tier 2: the reference-equivalent full-pool searcher escalated
+            # queries re-dispatch through (shares the device index planes;
+            # only the compiled programs are per-tier)
+            self._tier2 = Searcher(
+                index, dataclasses.replace(config, escalate_pool=0)
+            )
+        else:
+            self._tier2 = None
+        self.escalated_queries = 0  # cumulative, for /stats introspection
         self._stage1 = self._build_stage1()
         self._stage2 = self._build_stage2()
         self._prep = self._build_prep()
@@ -329,7 +366,8 @@ class Searcher:
             idx.values_T.shape[1] if idx.values_T is not None
             else idx.values.shape[0]
         )
-        k1 = min(cfg.agip_topk if cfg.rerank else cfg.topk, n_total)
+        pool = cfg.escalate_pool or cfg.agip_topk
+        k1 = min(pool if cfg.rerank else cfg.topk, n_total)
         n_dims = (
             idx.dim if cfg.theta == 0.0 else min(cfg.max_important_dims, idx.dim)
         )
@@ -624,14 +662,19 @@ class Searcher:
         rerank_raw = getattr(self, "_rerank_raw", None)
         do_rerank = self._stage2 is not None and rerank_raw is not None
 
+        emit_floor = bool(cfg.escalate_pool)
+
         @jax.jit
         def run(qv_all, qv1_all, qi_all, start, *arrs):
             qv1 = jax.lax.dynamic_slice_in_dim(qv1_all, start, bs)
             qi = jax.lax.dynamic_slice_in_dim(qi_all, start, bs)
             vals, rows = stage1_raw(qv1, qi, *arrs[: len(s1_arrays)])
+            floor = vals.min(axis=-1).astype(jnp.float32)
             if do_rerank:
                 qv = jax.lax.dynamic_slice_in_dim(qv_all, start, bs)
                 vals, rows = rerank_raw(qv, qi, rows, arrs[-2], arrs[-1])
+            if emit_floor:
+                return vals, rows, floor
             return vals, rows
 
         all_arrays = s1_arrays + (
@@ -748,19 +791,46 @@ class Searcher:
             )
         device_out = []
         for bi in range(n_batches):
-            vals, rows = self._run_batch(qvs, qv1s, qif, bi * bs)
-            for a in (vals, rows):
+            out = self._run_batch(qvs, qv1s, qif, bi * bs)
+            for a in out:
                 try:
                     a.copy_to_host_async()
                 except Exception:  # noqa: BLE001 - optional fast path
                     pass
-            device_out.append((vals, rows))
+            device_out.append(out)
         scores = np.concatenate(
-            [np.asarray(v) for v, _ in device_out], axis=0
+            [np.asarray(o[0]) for o in device_out], axis=0
         )[:B]
         rows = np.concatenate(
-            [np.asarray(r) for _, r in device_out], axis=0
+            [np.asarray(o[1]) for o in device_out], axis=0
         )[:B]
+        if self._tier2 is not None:
+            scores, rows = self._escalate(
+                query_values, query_indices, device_out, scores, rows, B
+            )
+        return scores, rows
+
+    def _escalate(self, query_values, query_indices, device_out,
+                  scores, rows, B):
+        """Tier-2 re-dispatch: queries whose reranked tail sits within
+        ``escalate_margin`` of the tier-1 stage-1 pool floor rerun at the
+        full ``agip_topk`` (results overwrite theirs in place).  One extra
+        upload+dispatch for the escalated subset only — amortized over the
+        whole query set."""
+        floors = np.concatenate(
+            [np.asarray(o[2]) for o in device_out], axis=0
+        )[:B]
+        esc = (scores[:, -1] - floors) <= self.config.escalate_margin
+        self.escalated_queries += int(esc.sum())
+        if esc.any():
+            qv_esc = np.asarray(query_values, np.float32)[esc]
+            qi_esc = (
+                None if query_indices is None
+                else np.asarray(query_indices)[esc]
+            )
+            s2, r2 = self._tier2.search(qv_esc, qi_esc)
+            scores[esc] = s2
+            rows[esc] = r2
         return scores, rows
 
     def _warn_truncated_scan(self, qv: np.ndarray) -> None:

@@ -258,6 +258,9 @@ class SearchService:
             "theta": self.searcher.config.theta,
             "topk": self.searcher.config.topk,
         }
+        if getattr(self.searcher.config, "escalate_pool", 0):
+            out["escalate_pool"] = self.searcher.config.escalate_pool
+            out["escalated_queries"] = self.searcher.escalated_queries
         if self.batcher is not None:
             out["micro_batches_run"] = self.batcher.batches_run
             out["micro_batch_max_queries"] = self.batcher.max_batch_seen
