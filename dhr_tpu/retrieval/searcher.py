@@ -680,6 +680,27 @@ class Searcher:
         all_arrays = s1_arrays + (
             (idx.values, idx.indices) if do_rerank else ()
         )
+
+        if self._tier2 is not None:
+            # tier-2 program over the RESIDENT query arrays: gather the
+            # escalated queries by index on device (no re-upload, no
+            # re-prep) and run the full-pool stage fns.  tier 2's own
+            # prep/run programs never compile — only this one does.
+            t2_stage1 = self._tier2._stage1_raw
+            t2_rerank = self._tier2._rerank_raw
+
+            @jax.jit
+            def run_esc(qv_all, qv1_all, qi_all, sel, *arrs):
+                qv1 = jnp.take(qv1_all, sel, axis=0)
+                qi = jnp.take(qi_all, sel, axis=0)
+                vals, rows = t2_stage1(qv1, qi, *arrs[: len(s1_arrays)])
+                qv = jnp.take(qv_all, sel, axis=0)
+                return t2_rerank(qv, qi, rows, arrs[-2], arrs[-1])
+
+            self._run_escalated = lambda qvs, qv1s, qif, sel: run_esc(
+                qvs, qv1s, qif, jnp.asarray(sel, jnp.int32), *all_arrays
+            )
+
         return lambda qvs, qv1s, qif, start: run(
             qvs, qv1s, qif, np.int32(start), *all_arrays
         )
@@ -806,31 +827,42 @@ class Searcher:
         )[:B]
         if self._tier2 is not None:
             scores, rows = self._escalate(
-                query_values, query_indices, device_out, scores, rows, B
+                (qvs, qv1s, qif), device_out, scores, rows, B
             )
         return scores, rows
 
-    def _escalate(self, query_values, query_indices, device_out,
-                  scores, rows, B):
+    def _escalate(self, prepped, device_out, scores, rows, B):
         """Tier-2 re-dispatch: queries whose reranked tail sits within
         ``escalate_margin`` of the tier-1 stage-1 pool floor rerun at the
-        full ``agip_topk`` (results overwrite theirs in place).  One extra
-        upload+dispatch for the escalated subset only — amortized over the
-        whole query set."""
+        full ``agip_topk`` (results overwrite theirs in place).  The
+        escalated queries are gathered by index from the RESIDENT prepped
+        arrays on device — no re-upload, no re-prep — and padded to whole
+        ``query_batch`` dispatches (pad slots repeat index 0, discarded)."""
+        qvs, qv1s, qif = prepped
         floors = np.concatenate(
             [np.asarray(o[2]) for o in device_out], axis=0
         )[:B]
-        esc = (scores[:, -1] - floors) <= self.config.escalate_margin
-        self.escalated_queries += int(esc.sum())
-        if esc.any():
-            qv_esc = np.asarray(query_values, np.float32)[esc]
-            qi_esc = (
-                None if query_indices is None
-                else np.asarray(query_indices)[esc]
-            )
-            s2, r2 = self._tier2.search(qv_esc, qi_esc)
-            scores[esc] = s2
-            rows[esc] = r2
+        esc_idx = np.nonzero(
+            (scores[:, -1] - floors) <= self.config.escalate_margin
+        )[0]
+        self.escalated_queries += len(esc_idx)
+        if not len(esc_idx):
+            return scores, rows
+        bs = self.config.query_batch
+        esc_out = []
+        for i in range(0, len(esc_idx), bs):
+            sel = esc_idx[i:i + bs]
+            n_real = len(sel)
+            if n_real < bs:
+                sel = np.pad(sel, (0, bs - n_real))
+            v2, r2 = self._run_escalated(qvs, qv1s, qif, sel)
+            esc_out.append((v2, r2, n_real))
+        scores[esc_idx] = np.concatenate(
+            [np.asarray(v)[:n] for v, _, n in esc_out], axis=0
+        )
+        rows[esc_idx] = np.concatenate(
+            [np.asarray(r)[:n] for _, r, n in esc_out], axis=0
+        )
         return scores, rows
 
     def _warn_truncated_scan(self, qv: np.ndarray) -> None:

@@ -37,7 +37,10 @@ def test_escalate_all_equals_full_pool(rng):
     se, re_ = esc.search(qv, qi)
     assert esc.escalated_queries == 13
     np.testing.assert_array_equal(rf, re_)
-    np.testing.assert_allclose(sf, se, rtol=0, atol=0)
+    # tier-2 gathers queries from the resident arrays (jnp.take) where the
+    # plain path dynamic-slices them; XLA fuses the two differently, so
+    # rerank sums can differ by one f32 ULP
+    np.testing.assert_allclose(sf, se, rtol=1e-6)
 
 
 def test_escalate_never_equals_small_pool(rng):
