@@ -118,6 +118,24 @@ def test_escalation_improves_recall_on_deficient_queries(rng):
     assert ov_esc > ov_small
 
 
+def test_escalate_with_approx_stratified_candidates(rng):
+    """The bench operating point (approx_max_k + stratified slices +
+    bf16 candidate scores) composes with escalation: escalate-all equals
+    the full-pool searcher under the same candidate settings."""
+    packed = build_corpus(rng, N=1024)
+    qv, qi = build_queries(rng, B=13)
+    idx = DeviceIndex.from_packed(packed)
+    kw = dict(topk=16, agip_topk=256, approx_candidates=True,
+              candidate_recall=0.99, candidate_slices=2)
+    full = Searcher(idx, _cfg(**kw))
+    esc = Searcher(idx, _cfg(escalate_pool=64, escalate_margin=1e30, **kw))
+    sf, rf = full.search(qv, qi)
+    se, re_ = esc.search(qv, qi)
+    assert esc.escalated_queries == 13
+    np.testing.assert_array_equal(rf, re_)
+    np.testing.assert_allclose(sf, se, rtol=1e-6)
+
+
 def test_escalate_validation():
     packed = build_corpus(np.random.default_rng(0), N=100)
     idx = DeviceIndex.from_packed(packed)
