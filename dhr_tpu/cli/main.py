@@ -558,6 +558,17 @@ def cmd_search(args):
             escalate_margin=args.escalate_margin,
         ),
     )
+    if getattr(args, "escalate_calibrate", False):
+        # measure the small-vs-full pool gap on these queries and print the
+        # recommended --escalate-margin (plus the evidence) as JSON
+        report = searcher.calibrate_escalation(
+            qv, qi, miss_mass_target=args.escalate_miss_mass
+        )
+        print(json.dumps(report))
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump(report, f)
+        return
     results, scores = searcher.search_run(qids, qv, qi)
     write_run(args.output, results, scores, run_name=args.run_name)
     logger.info("wrote %s (%d queries)", args.output, len(results))
@@ -1081,7 +1092,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "--agip-topk. 0 disables")
     p.add_argument("--escalate-margin", type=float, default=0.0,
                    help="escalation trigger margin (see --escalate-pool; "
-                        "calibration notes in docs/design.md)")
+                        "calibrate with --escalate-calibrate)")
+    p.add_argument("--escalate-calibrate", action="store_true",
+                   help="instead of searching, measure the small-vs-full "
+                        "pool gap on these queries and print the "
+                        "recommended --escalate-margin as JSON (requires "
+                        "--escalate-pool; margins are corpus-dependent)")
+    p.add_argument("--escalate-miss-mass", type=float, default=0.95,
+                   help="calibration target: fraction of the missing-row "
+                        "mass the escalated queries must cover")
     p.add_argument("--candidate-block", type=int, default=8,
                    help="row-group size for --fused-candidates")
     p.add_argument("--layout", default="auto",

@@ -756,31 +756,20 @@ class Searcher:
             qv_stage1 = qv_stage1 * scales
         return qv, qv_stage1, qi
 
-    def search(self, query_values, query_indices=None):
-        """Search a full query set; returns (scores, row_ids) as numpy.
+    def _upload(self, query_values, query_indices):
+        """Upload a query set once and run device-side prep.
 
-        Transfer plan (the dev relay charges a flat ~37 ms per transfer, so
-        transfers — not compute — dominated the naive loop):
-
-        - the raw query arrays are uploaded ONCE (indices compacted to the
-          narrowest int dtype); lambda/theta/scale prep runs on device;
-        - each batch is one jitted dispatch that dynamic-slices the resident
-          arrays at ``start`` — no per-batch uploads, one compiled program;
-        - results start copying back (``copy_to_host_async``) while later
-          batches still compute; the final gather mostly finds them ready.
+        Pads the batch count to a power of two so repeated calls with
+        varying query totals hit a bounded set of compiled shapes (64,
+        128, 256, ... rows) instead of one compile per distinct total;
+        padded slots are never dispatched.  Indices compact to the
+        narrowest int dtype (the relay charges per transferred byte).
+        Returns ``(qvs, qv1s, qif, B, n_batches)``.
         """
-        cfg = self.config
         qv = np.ascontiguousarray(np.asarray(query_values, np.float32))
         B = qv.shape[0]
-        bs = cfg.query_batch
+        bs = self.config.query_batch
         n_batches = max(1, -(-B // bs))
-        # The prep/run programs are compiled against the FULL uploaded query
-        # array, so pad its batch count to a power of two: repeated calls
-        # with varying query totals then hit a bounded set of compiled
-        # shapes (64, 128, 256, ... rows) instead of one compile per
-        # distinct total.  Padded slots are never dispatched (the loop below
-        # runs the real n_batches); the waste is a <2x upload of the small
-        # query arrays.
         n_slots = 1 << (n_batches - 1).bit_length()
         pad = n_slots * bs - B
         if pad:
@@ -810,6 +799,25 @@ class Searcher:
                 global_put(jax.device_get(x), self.mesh, PartitionSpec())
                 for x in (qvs, qv1s, qif)
             )
+        return qvs, qv1s, qif, B, n_batches
+
+    def search(self, query_values, query_indices=None):
+        """Search a full query set; returns (scores, row_ids) as numpy.
+
+        Transfer plan (the dev relay charges a flat ~37 ms per transfer, so
+        transfers — not compute — dominated the naive loop):
+
+        - the raw query arrays are uploaded ONCE (indices compacted to the
+          narrowest int dtype); lambda/theta/scale prep runs on device;
+        - each batch is one jitted dispatch that dynamic-slices the resident
+          arrays at ``start`` — no per-batch uploads, one compiled program;
+        - results start copying back (``copy_to_host_async``) while later
+          batches still compute; the final gather mostly finds them ready.
+        """
+        qvs, qv1s, qif, B, n_batches = self._upload(
+            query_values, query_indices
+        )
+        bs = self.config.query_batch
         device_out = []
         for bi in range(n_batches):
             out = self._run_batch(qvs, qv1s, qif, bi * bs)
@@ -864,6 +872,78 @@ class Searcher:
             [np.asarray(r)[:n] for _, r, n in esc_out], axis=0
         )
         return scores, rows
+
+    def calibrate_escalation(self, query_values, query_indices=None,
+                             miss_mass_target=0.95):
+        """Measure the small-vs-full pool gap on a query sample and return
+        the ``escalate_margin`` that escalates the queries covering
+        ``miss_mass_target`` of the missing-row mass (rows the full pool
+        returns in the top-k that the small pool misses), escalating
+        smallest-margin queries first.
+
+        The margin is corpus- and theta-dependent (it is a gap between a
+        reranked full-GIP score and a truncated stage-1 score), so it must
+        be calibrated per index — run this once on a held-out query sample
+        and pass the result as ``escalate_margin`` / ``--escalate-margin``.
+
+        Runs both tiers on every sample query: tier 1 via the normal
+        batch program, the full pool via the tier-2 resident-gather
+        program.  Returns a dict of the recommended margin plus the
+        overlap/escalation-fraction evidence behind it.
+        """
+        if self._tier2 is None:
+            raise ValueError(
+                "calibrate_escalation needs escalate_pool > 0 "
+                "(build the Searcher with the tier-1 pool to calibrate)"
+            )
+        qvs, qv1s, qif, B, n_batches = self._upload(
+            query_values, query_indices
+        )
+        bs = self.config.query_batch
+        rows1, kth, floors, rows_full = [], [], [], []
+        for bi in range(n_batches):
+            v, r, f = self._run_batch(qvs, qv1s, qif, bi * bs)
+            sel = np.arange(bi * bs, (bi + 1) * bs, dtype=np.int32)
+            v2, r2 = self._run_escalated(qvs, qv1s, qif, sel)
+            rows1.append(np.asarray(r))
+            kth.append(np.asarray(v[:, -1], np.float32))
+            floors.append(np.asarray(f, np.float32))
+            rows_full.append(np.asarray(r2))
+        rows1 = np.concatenate(rows1)[:B]
+        rows_full = np.concatenate(rows_full)[:B]
+        kth = np.concatenate(kth)[:B]
+        margin = kth - np.concatenate(floors)[:B]
+        k = rows1.shape[1]
+        ov = np.array([
+            len(np.intersect1d(rows1[i], rows_full[i])) / k for i in range(B)
+        ])
+        miss = (1.0 - ov) * k
+        out = {
+            "pool": self.config.escalate_pool,
+            "agip_topk": self.config.agip_topk,
+            "n_queries": B,
+            "overlap_small_mean": float(ov.mean()),
+            "overlap_small_min": float(ov.min()),
+            "frac_deficient": float((ov < 1.0).mean()),
+        }
+        if miss.sum() == 0:
+            # the small pool already reproduces the full pool on this
+            # sample; a margin below every observed margin never escalates
+            out["escalate_margin"] = float(margin.min()) - 1.0
+            out["frac_escalated"] = 0.0
+            out["overlap_after_mean"] = 1.0
+            return out
+        order = np.argsort(margin)
+        cum = np.cumsum(miss[order]) / miss.sum()
+        i_t = int(np.searchsorted(cum, miss_mass_target))
+        t = float(margin[order][min(i_t, B - 1)])
+        esc = margin <= t
+        ov_after = ov.copy()
+        ov_after[esc] = 1.0
+        out["escalate_margin"] = t
+        out["frac_escalated"] = float(esc.mean())
+        out["overlap_after_mean"] = float(ov_after.mean())
+        return out
 
     def _warn_truncated_scan(self, qv: np.ndarray) -> None:
         """Stage 1 scans only the top min(max_important_dims, dim) query

@@ -136,6 +136,38 @@ def test_escalate_with_approx_stratified_candidates(rng):
     np.testing.assert_allclose(sf, se, rtol=1e-6)
 
 
+def test_calibrate_escalation(rng):
+    """The calibrated margin must actually deliver its promised coverage:
+    searching with it reaches at least the reported overlap_after_mean."""
+    packed = build_corpus(rng, N=500)
+    qv, qi = build_queries(rng, B=29)
+    idx = DeviceIndex.from_packed(packed)
+    cal = Searcher(idx, _cfg(escalate_pool=20, escalate_margin=0.0))
+    report = cal.calibrate_escalation(qv, qi, miss_mass_target=0.95)
+    assert report["overlap_small_mean"] < 1.0  # fixture stresses the pool
+    assert 0.0 < report["frac_escalated"] <= 1.0
+    assert report["overlap_after_mean"] >= report["overlap_small_mean"]
+
+    full = Searcher(idx, _cfg())
+    sf, rf = full.search(qv, qi)
+    tuned = Searcher(idx, _cfg(escalate_pool=20,
+                               escalate_margin=report["escalate_margin"]))
+    st, rt = tuned.search(qv, qi)
+    ov = np.mean([
+        len(np.intersect1d(rt[i], rf[i])) / rf.shape[1] for i in range(29)
+    ])
+    assert ov >= report["overlap_after_mean"] - 1e-9
+    assert tuned.escalated_queries == round(report["frac_escalated"] * 29)
+
+
+def test_calibrate_requires_escalation_pool(rng):
+    packed = build_corpus(rng, N=200)
+    idx = DeviceIndex.from_packed(packed)
+    s = Searcher(idx, _cfg())
+    with pytest.raises(ValueError, match="escalate_pool"):
+        s.calibrate_escalation(np.zeros((4, 20), np.float32))
+
+
 def test_escalate_validation():
     packed = build_corpus(np.random.default_rng(0), N=100)
     idx = DeviceIndex.from_packed(packed)
