@@ -160,6 +160,24 @@ def test_calibrate_escalation(rng):
     assert tuned.escalated_queries == round(report["frac_escalated"] * 29)
 
 
+def test_escalate_ip_candidates(rng):
+    """Escalation also applies to IP-candidate configs (stage 1 is an MXU
+    matmul; the floor is still the smallest admitted candidate score)."""
+    packed = build_corpus(rng, N=500)
+    qv, qi = build_queries(rng, B=13)
+    idx = DeviceIndex.from_packed(packed)
+    kw = dict(topk=10, mode="ip", theta=0.0, rerank=True, agip_topk=100,
+              query_batch=8, approx_candidates=False)
+    full = Searcher(idx, SearchConfig(**kw))
+    esc = Searcher(idx, SearchConfig(escalate_pool=20,
+                                     escalate_margin=1e30, **kw))
+    sf, rf = full.search(qv, qi)
+    se, re_ = esc.search(qv, qi)
+    assert esc.escalated_queries == 13
+    np.testing.assert_array_equal(rf, re_)
+    np.testing.assert_allclose(sf, se, rtol=1e-6)
+
+
 def test_calibrate_requires_escalation_pool(rng):
     packed = build_corpus(rng, N=200)
     idx = DeviceIndex.from_packed(packed)
