@@ -697,8 +697,12 @@ class Searcher:
                 qv = jnp.take(qv_all, sel, axis=0)
                 return t2_rerank(qv, qi, rows, arrs[-2], arrs[-1])
 
+            # sel stays HOST numpy: like the main path's np.int32(start),
+            # jit replicates it — a jnp.asarray would commit it to one
+            # local device, which is incompatible with the globally-
+            # sharded query arrays under multi-process SPMD
             self._run_escalated = lambda qvs, qv1s, qif, sel: run_esc(
-                qvs, qv1s, qif, jnp.asarray(sel, jnp.int32), *all_arrays
+                qvs, qv1s, qif, np.asarray(sel, np.int32), *all_arrays
             )
 
         return lambda qvs, qv1s, qif, start: run(
@@ -864,6 +868,11 @@ class Searcher:
             if n_real < bs:
                 sel = np.pad(sel, (0, bs - n_real))
             v2, r2 = self._run_escalated(qvs, qv1s, qif, sel)
+            for a in (v2, r2):
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # noqa: BLE001 - optional fast path
+                    pass
             esc_out.append((v2, r2, n_real))
         scores[esc_idx] = np.concatenate(
             [np.asarray(v)[:n] for v, _, n in esc_out], axis=0
@@ -900,19 +909,29 @@ class Searcher:
             query_values, query_indices
         )
         bs = self.config.query_batch
-        rows1, kth, floors, rows_full = [], [], [], []
+        # dispatch every batch of both tiers before fetching anything —
+        # the relay charges a flat ~31 ms per round trip, so a fetch
+        # inside the dispatch loop would serialize compute and transfer
+        # (same plan as search())
+        pending = []
         for bi in range(n_batches):
             v, r, f = self._run_batch(qvs, qv1s, qif, bi * bs)
             sel = np.arange(bi * bs, (bi + 1) * bs, dtype=np.int32)
             v2, r2 = self._run_escalated(qvs, qv1s, qif, sel)
-            rows1.append(np.asarray(r))
-            kth.append(np.asarray(v[:, -1], np.float32))
-            floors.append(np.asarray(f, np.float32))
-            rows_full.append(np.asarray(r2))
-        rows1 = np.concatenate(rows1)[:B]
-        rows_full = np.concatenate(rows_full)[:B]
-        kth = np.concatenate(kth)[:B]
-        margin = kth - np.concatenate(floors)[:B]
+            kv = v[:, -1]  # device slice: fetch (bs,) not (bs, topk)
+            for a in (kv, r, f, r2):
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # noqa: BLE001 - optional fast path
+                    pass
+            pending.append((kv, r, f, r2))
+        rows1 = np.concatenate([np.asarray(r) for _, r, _, _ in pending])[:B]
+        rows_full = np.concatenate(
+            [np.asarray(r2) for _, _, _, r2 in pending])[:B]
+        kth = np.concatenate(
+            [np.asarray(kv, np.float32) for kv, _, _, _ in pending])[:B]
+        margin = kth - np.concatenate(
+            [np.asarray(f, np.float32) for _, _, f, _ in pending])[:B]
         k = rows1.shape[1]
         ov = np.array([
             len(np.intersect1d(rows1[i], rows_full[i])) / k for i in range(B)

@@ -260,7 +260,14 @@ class SearchService:
         }
         if getattr(self.searcher.config, "escalate_pool", 0):
             out["escalate_pool"] = self.searcher.config.escalate_pool
-            out["escalated_queries"] = self.searcher.escalated_queries
+            # sum the low-latency route's counter too: single-query traffic
+            # is served entirely by the small searcher, whose escalations
+            # would otherwise be invisible to operators tuning the margin
+            out["escalated_queries"] = self.searcher.escalated_queries + (
+                self.batcher.small.escalated_queries
+                if self.batcher is not None and self.batcher.small is not None
+                else 0
+            )
         if self.batcher is not None:
             out["micro_batches_run"] = self.batcher.batches_run
             out["micro_batch_max_queries"] = self.batcher.max_batch_seen

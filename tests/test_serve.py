@@ -585,3 +585,34 @@ def test_bounded_ingress_queue_sheds_with_503(rng):
     finally:
         server.shutdown()
         t.join(timeout=5)
+
+
+def test_stats_sums_escalations_across_routes(rng):
+    """/stats escalated_queries must include the low-latency small
+    searcher's escalations (single-query traffic is served entirely by
+    it), not just the main searcher's."""
+    import dataclasses
+
+    values = (rng.random((64, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (64, 12)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(64)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=12)
+    cfg = SearchConfig(topk=5, mode="gip", theta=0.05, rerank=True,
+                       agip_topk=40, query_batch=8,
+                       approx_candidates=False,
+                       escalate_pool=10, escalate_margin=1e30)
+    searcher = Searcher(DeviceIndex.from_packed(packed), cfg)
+    small = Searcher(searcher.index,
+                     dataclasses.replace(cfg, query_batch=2))
+    service = SearchService(searcher, micro_batch_ms=20.0,
+                            small_searcher=small)  # daemon worker thread
+    qv = (rng.random((1, 12)) + 0.1).astype(np.float32)
+    qi = rng.integers(0, 3, (1, 12)).astype(np.int32)
+    # single-query request -> routed to the small searcher
+    out = service.search(
+        {"qids": ["q0"], "values": qv.tolist(), "indices": qi.tolist()})
+    assert out["results"]["q0"]
+    stats = service.stats()
+    assert stats["escalate_pool"] == 10
+    assert stats["escalated_queries"] == small.escalated_queries == 1
+    assert searcher.escalated_queries == 0
