@@ -102,6 +102,22 @@ def run_fixture(num_hosts_override: int | None, ckpt_dir: str | None = None
     )
     results, scores = searcher.search_run(["q0", "q1", "q2", "q3"], qv, qi)
 
+    # two-tier escalation on the same hybrid mesh: escalate-all must
+    # reproduce the full-pool rankings (the tier-2 resident-gather
+    # program takes HOST selection indices, which jit replicates — a
+    # device-committed sel array would break multi-process dispatch)
+    esc = Searcher(
+        DeviceIndex.from_packed(packed, mesh=imesh),
+        SearchConfig(topk=10, mode="gip", theta=0.3, rerank=True,
+                     agip_topk=32, max_important_dims=8, query_batch=4,
+                     escalate_pool=16, escalate_margin=1e30),
+    )
+    eresults, _ = esc.search_run(["q0", "q1", "q2", "q3"], qv, qi)
+    assert esc.escalated_queries == 4
+    assert {k: list(v) for k, v in eresults.items()} == \
+           {k: list(v) for k, v in results.items()}, \
+        "escalated hybrid-mesh rankings diverge from full-pool rankings"
+
     # ---- hybrid (host, data) FSDP/DP train step -----------------------
     cfg = RetrieverConfig(
         model_type="dhr",
