@@ -168,6 +168,16 @@ def _pick_pallas_tile(
     for t in _PALLAS_TILES:
         if t > n_shard or n_shard % t:
             continue
+        if fused_block:
+            # the reduced out block is (1, t/(128*G), 128): Mosaic requires
+            # the second-to-last block dim to be a multiple of 8 OR equal
+            # to the full reduced dim (single-tile shard).  G=16 at tile
+            # 204800 gives 100 — legal-looking but an AOT compile error.
+            if t % (128 * fused_block):
+                continue
+            nrb = t // (128 * fused_block)
+            if nrb % 8 and t != n_shard:
+                continue
         vmem = t * out_bytes + unroll * 2 * t * (value_bytes + 1)
         if vmem <= _VMEM_BUDGET:
             return t
@@ -340,6 +350,12 @@ class Searcher:
                 raise ValueError("escalate_pool needs rerank=True (the "
                                  "trigger compares reranked scores to the "
                                  "stage-1 pool floor)")
+            if index.indices is None:
+                raise ValueError(
+                    "escalate_pool needs an index with lexical index "
+                    "planes: a dense (indices=None) index has no rerank "
+                    "stage, so there is no tier-2 to escalate to"
+                )
             if not (config.topk <= config.escalate_pool < config.agip_topk):
                 raise ValueError(
                     f"escalate_pool={config.escalate_pool} must lie in "
@@ -414,6 +430,13 @@ class Searcher:
         fused_ok = (
             want_fused and pallas_ok
             and (pallas_tile // 128) % G == 0
+            # Mosaic out-block rule (see _pick_pallas_tile); re-checked
+            # here because pallas_n_tile can be set explicitly.  Interpret
+            # mode has no Mosaic lowering, so tests with tiny tiles pass.
+            and (cfg.pallas_interpret
+                 or (pallas_tile % (128 * G) == 0
+                     and ((pallas_tile // (128 * G)) % 8 == 0
+                          or pallas_tile == n_shard)))
         )
 
         def local(qv, qi, arrs, offset, n_local):

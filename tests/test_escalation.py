@@ -210,3 +210,17 @@ def test_escalate_sharded_equals_single_device(rng, eight_devices):
     s2, r2 = sharded.search(qv, qi)
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_escalate_rejects_dense_index(rng):
+    """A dense (indices=None) index has no rerank stage — escalation must
+    fail loudly at construction, not crash on a missing tier-2."""
+    from dhr_tpu.retrieval import PackedIndex
+
+    values = rng.random((100, 8)).astype(np.float16)
+    docids = np.asarray([f"d{i}" for i in range(100)], dtype=object)
+    packed = PackedIndex(values, None, docids, lex_dim=0)
+    idx = DeviceIndex.from_packed(packed)
+    with pytest.raises(ValueError, match="dense"):
+        Searcher(idx, SearchConfig(topk=10, mode="ip", rerank=True,
+                                   agip_topk=100, escalate_pool=20))

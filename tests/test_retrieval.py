@@ -682,3 +682,26 @@ def test_pick_slices_constraints():
     # the pool there (measured on the parity fixture); explicit S may force
     assert _pick_slices("auto", 2000, 500) == 1
     assert _pick_slices(4, 2000, 500) == 4
+
+
+def test_pick_pallas_tile_fused_block_rule():
+    """The fused-candidates reduced out block is (1, t/(128*G), 128);
+    Mosaic requires the middle dim to be a multiple of 8 or equal to the
+    full reduced dim.  G=16 at the bench shard size must NOT pick 204800
+    (middle dim 100 — an AOT compile error on hardware)."""
+    from dhr_tpu.retrieval.searcher import _pick_pallas_tile
+
+    t16 = _pick_pallas_tile(1_638_400, value_bytes=1, unroll=8,
+                            fused_block=16)
+    assert t16 is not None
+    assert t16 % (128 * 16) == 0
+    assert (t16 // (128 * 16)) % 8 == 0 or t16 == 1_638_400
+    # G=8 keeps a legal large tile
+    t8 = _pick_pallas_tile(1_638_400, value_bytes=1, unroll=8,
+                           fused_block=8)
+    assert t8 is not None and ((t8 // (128 * 8)) % 8 == 0
+                               or t8 == 1_638_400)
+    # single-tile shard: equality with the array dims is also legal
+    t_eq = _pick_pallas_tile(102_400, value_bytes=1, unroll=8,
+                             fused_block=16)
+    assert t_eq in (None, 102_400) or (t_eq // (128 * 16)) % 8 == 0
