@@ -58,6 +58,17 @@ class RetrieverConfig:
     agg_dim: int = 640
     semi_aggregate: bool = False
     skip_mlm: bool = False
+    # dhr/dlr packed head order: False = per-token densify then segment-max
+    # (two small (B, L, out_dim) planes reduced S times); True = segment-max
+    # over the (B, L, V) weighted plane first, then ONE densify of the
+    # (B, S, V) result.  Values are identical either way (max over
+    # (token, fold) pairs commutes); fold indices differ only on exact
+    # cross-token float ties.  Measured on v5e (packed dhr train step,
+    # 24 q x 8 psg distilbert, pack_rows=116): per-token 114.8 ms vs
+    # segment-first 146.1 ms — the S masked reduces over the (B, L, V)
+    # plane cost more than they save in densify width, so per-token stays
+    # the default (docs/design.md "Packed head order").
+    packed_segfirst: bool = False
 
     def __post_init__(self):
         if self.model_type not in MODEL_TYPES:
@@ -297,6 +308,27 @@ class RetrieverEncoder(nn.Module):
             (segment_ids > 0) & (position_ids > 0)
         )[..., None]  # exclude pads and each segment's own [CLS] row
         weighted = probs * tw.astype(jnp.float32) * token_ok.astype(jnp.float32)
+
+        if cfg.packed_segfirst:
+            # segment-FIRST order: reduce the (B, L, V) weighted plane to
+            # (B, S, V) per-segment maxima, then densify once.  The barrier
+            # keeps XLA from re-running the vocab matmul once per segment
+            # reduce (same precedent as the per-token order below).
+            weighted = jax.lax.optimization_barrier(weighted)
+            seg_planes = []
+            for s in range(S):
+                m = (
+                    (segment_ids == (s + 1)) & (position_ids > 0)
+                )[..., None]
+                seg_planes.append(
+                    jnp.max(jnp.where(m, weighted, 0.0), axis=1)
+                )
+            seg_plane = jnp.stack(seg_planes, axis=1)  # (B, S, V)
+            vals, idxs = densify(seg_plane, out_dim, remove_dims)
+            cls_h = jnp.take_along_axis(hidden, seg_start[:, :, None], axis=1)
+            semantic = self.pooler(cls_h) if self._use_pooler else cls_h
+            return vals, idxs, semantic.astype(jnp.float32)
+
         tok_vals, tok_idx = densify(weighted, out_dim, remove_dims)
         tok_vals, tok_idx = jax.lax.optimization_barrier((tok_vals, tok_idx))
 

@@ -112,6 +112,16 @@ def test_packed_matches_plain_dlr(rng):
     _packed_vs_plain("dlr", rng)
 
 
+def test_packed_matches_plain_dhr_segfirst(rng):
+    # segment-first head order: same values as plain (max over (token, fold)
+    # pairs commutes), fold indices deviate only on exact cross-token ties
+    _packed_vs_plain("dhr", rng, add_pooler=True, packed_segfirst=True)
+
+
+def test_packed_matches_plain_dlr_segfirst(rng):
+    _packed_vs_plain("dlr", rng, packed_segfirst=True)
+
+
 def test_packed_matches_plain_dense_cls(rng):
     _packed_vs_plain("dense", rng, pooling="cls")
 

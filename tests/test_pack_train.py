@@ -103,6 +103,25 @@ def test_packed_step_matches_plain(rng, model_type):
     jax.tree.map(lambda a, b: _leaf_close(a, b, 1e-5), s1.params, s2.params)
 
 
+def test_packed_step_matches_plain_dhr_segfirst(rng):
+    """Segment-first head order gives the same loss and parameter update."""
+    cfg = tiny_retriever("dhr", packed_segfirst=True)
+    exs = make_examples(rng)
+    plain_b = collate_train(exs, Q_LEN, P_LEN, cls_id=CLS, sep_id=SEP)
+    packed_b = collate_train_packed(exs, Q_LEN, P_LEN, pack_rows=8,
+                                    pack_segments=3, cls_id=CLS, sep_id=SEP)
+    loss_cfg = LossConfig(n_passages=NPSG, remove_dims=6)
+    model, state = init_state(cfg, plain_b)
+
+    plain_step = jax.jit(make_train_step(model, cfg, loss_cfg))
+    packed_step = jax.jit(make_packed_train_step(model, cfg, loss_cfg))
+    key = jax.random.PRNGKey(7)
+    s1, m1 = plain_step(state, jax.tree.map(jnp.asarray, plain_b), key)
+    s2, m2 = packed_step(state, jax.tree.map(jnp.asarray, packed_b), key)
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), abs=1e-5)
+    jax.tree.map(lambda a, b: _leaf_close(a, b, 1e-5), s1.params, s2.params)
+
+
 def test_packed_step_matches_plain_kd_teacher_scores(rng):
     """Teacher scores (listwise, the dhr_loss teacher shape) flow through
     the packed step's TCT temperature splits identically to plain."""
