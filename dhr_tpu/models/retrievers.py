@@ -312,8 +312,10 @@ class RetrieverEncoder(nn.Module):
         if cfg.packed_segfirst:
             # segment-FIRST order: reduce the (B, L, V) weighted plane to
             # (B, S, V) per-segment maxima, then densify once.  The barrier
-            # keeps XLA from re-running the vocab matmul once per segment
-            # reduce (same precedent as the per-token order below).
+            # keeps XLA from re-RUNNING the vocab matmul per segment reduce,
+            # but each of the S masked reduces still re-READS the
+            # materialized (B, L, V) plane — which is why this order
+            # measured slower e2e (docs/design.md "Packed head order").
             weighted = jax.lax.optimization_barrier(weighted)
             seg_planes = []
             for s in range(S):
@@ -325,32 +327,34 @@ class RetrieverEncoder(nn.Module):
                 )
             seg_plane = jnp.stack(seg_planes, axis=1)  # (B, S, V)
             vals, idxs = densify(seg_plane, out_dim, remove_dims)
-            cls_h = jnp.take_along_axis(hidden, seg_start[:, :, None], axis=1)
-            semantic = self.pooler(cls_h) if self._use_pooler else cls_h
-            return vals, idxs, semantic.astype(jnp.float32)
+        else:
+            tok_vals, tok_idx = densify(weighted, out_dim, remove_dims)
+            tok_vals, tok_idx = jax.lax.optimization_barrier(
+                (tok_vals, tok_idx)
+            )
 
-        tok_vals, tok_idx = densify(weighted, out_dim, remove_dims)
-        tok_vals, tok_idx = jax.lax.optimization_barrier((tok_vals, tok_idx))
-
-        vals_list, idx_list = [], []
-        for s in range(S):
-            m = (
-                (segment_ids == (s + 1)) & (position_ids > 0)
-            )[..., None]  # (B, L, 1)
-            mv = jnp.where(m, tok_vals, 0.0)
-            win_val = jnp.max(mv, axis=1)  # (B, out_dim)
-            # winner's fold index via compare+max, NOT argmax +
-            # take_along_axis: the 1-of-L gather along the sublane axis is
-            # the slow op on TPU (measured: it alone ate the packed
-            # transformer saving; this form is pure elementwise + reduce).
-            # On exact value ties across tokens this keeps the LARGEST fold
-            # index of the tied tokens — tie-only deviation, same class as
-            # the documented packed-vs-plain tie semantics.
-            mi = jnp.where(m & (tok_vals == win_val[:, None, :]), tok_idx, 0)
-            vals_list.append(win_val)
-            idx_list.append(jnp.max(mi, axis=1))
-        vals = jnp.stack(vals_list, axis=1)  # (B, S, out_dim)
-        idxs = jnp.stack(idx_list, axis=1)
+            vals_list, idx_list = [], []
+            for s in range(S):
+                m = (
+                    (segment_ids == (s + 1)) & (position_ids > 0)
+                )[..., None]  # (B, L, 1)
+                mv = jnp.where(m, tok_vals, 0.0)
+                win_val = jnp.max(mv, axis=1)  # (B, out_dim)
+                # winner's fold index via compare+max, NOT argmax +
+                # take_along_axis: the 1-of-L gather along the sublane axis
+                # is the slow op on TPU (measured: it alone ate the packed
+                # transformer saving; this form is pure elementwise +
+                # reduce).  On exact value ties across tokens this keeps the
+                # LARGEST fold index of the tied tokens — tie-only
+                # deviation, same class as the documented packed-vs-plain
+                # tie semantics.
+                mi = jnp.where(
+                    m & (tok_vals == win_val[:, None, :]), tok_idx, 0
+                )
+                vals_list.append(win_val)
+                idx_list.append(jnp.max(mi, axis=1))
+            vals = jnp.stack(vals_list, axis=1)  # (B, S, out_dim)
+            idxs = jnp.stack(idx_list, axis=1)
 
         cls_h = jnp.take_along_axis(hidden, seg_start[:, :, None], axis=1)
         semantic = self.pooler(cls_h) if self._use_pooler else cls_h

@@ -853,24 +853,58 @@ def run_parity_training(work: str, B: int = 4, n_passages: int = 4,
 def run_reference_timing(work: str, n_rows: int = 100_000, n_queries: int = 16,
                          dlr: int = 768, cls_dim: int = 128,
                          theta: float = 0.3, topk: int = 1000,
-                         agip_topk: int = 10_000) -> dict:
+                         agip_topk: int = 10_000, dist: str = "trained") -> dict:
     """Measured reference-engine throughput on synthetic planes at the
     MS MARCO operating point (theta=0.3, rerank, agip_topk=10k, top-1000).
-    Single CPU core on this host — an anchor, not a GPU-parity claim."""
+    Single CPU core on this host — an anchor, not a GPU-parity claim.
+
+    ``dist="trained"`` uses the bench's trained-rep-statistics generator
+    (dhr_tpu/retrieval/synth.py): ~36 query dims clear theta, so the
+    reference's gather-every-above-theta-dim stage 1
+    (gip_retrieval.py:130-136) does the SAME per-query work as the benched
+    48-dim scan — the equal-work anchor VERDICT r3 asked for.
+    ``dist="legacy"`` reproduces the round-2 anchor's i.i.d. exp(-4u)
+    profile (~230 above-theta dims: ~5x the stage-1 work of trained reps).
+    """
     os.makedirs(work, exist_ok=True)
     rng = np.random.default_rng(0)
 
-    def planes(n):
-        # same sparse-positive profile as bench.py's synthetic index, so the
-        # reference engine sees the same above-theta workload per query
-        lex = np.exp(-4.0 * rng.random((n, dlr), np.float32))
-        cls = (rng.standard_normal((n, cls_dim)) * 0.3).astype(np.float32)
-        return np.concatenate([lex, cls], axis=1)
+    if dist == "trained":
+        import jax
 
-    cv = planes(n_rows).astype(np.float16)
-    ci = rng.integers(0, 39, (n_rows, dlr)).astype(np.uint8)
-    qv = planes(n_queries)
-    qi = rng.integers(0, 39, (n_queries, dlr)).astype(np.int64)
+        jax.config.update("jax_platforms", "cpu")
+        from dhr_tpu.retrieval.synth import (
+            SynthConfig, synth_index_planes, synth_reps,
+        )
+
+        # bench.py's EXACT corpus and query prefix (same key/streams/
+        # chunking, int8 values dequantized to the f16 the reference
+        # stores): both engines score identical data at identical
+        # per-query stage-1 work — no distribution or scaling caveats.
+        scfg = SynthConfig(lex_dim=dlr, cls_dim=cls_dim)
+        key = jax.random.PRNGKey(0)
+        n_chunks = max(1, n_rows // 102_400) if n_rows % 102_400 == 0 else 1
+        v_i8, ci_f, scales, _ = synth_index_planes(
+            key, n_rows, scfg, n_chunks=n_chunks)
+        cv = (np.asarray(v_i8, np.float32)
+              * np.asarray(scales)[None, :]).astype(np.float16)
+        ci = np.asarray(ci_f).astype(np.uint8)
+        n_qgen = max(n_queries, 1024)  # bench draws 1024; slice its prefix
+        qv_f, qi_f, _ = synth_reps(key, n_qgen, scfg, "query", stream=1)
+        qv = np.asarray(qv_f, np.float32)[:n_queries]
+        qi = np.asarray(qi_f, np.int64)[:n_queries]
+    else:
+        def planes(n):
+            # the round-1..3 bench profile: i.i.d. sparse-positive values,
+            # uniform folds
+            lex = np.exp(-4.0 * rng.random((n, dlr), np.float32))
+            cls = (rng.standard_normal((n, cls_dim)) * 0.3).astype(np.float32)
+            return np.concatenate([lex, cls], axis=1)
+
+        cv = planes(n_rows).astype(np.float16)
+        ci = rng.integers(0, 39, (n_rows, dlr)).astype(np.uint8)
+        qv = planes(n_queries)
+        qi = rng.integers(0, 39, (n_queries, dlr)).astype(np.int64)
     index_pkl = os.path.join(work, "timing_index.pt")
     query_pkl = os.path.join(work, "timing_query.pt")
     with open(index_pkl, "wb") as f:
@@ -885,6 +919,8 @@ def run_reference_timing(work: str, n_rows: int = 100_000, n_queries: int = 16,
     return {
         "n_rows": n_rows,
         "n_queries": n_queries,
+        "dist": dist,
+        "query_dims_above_theta_mean": float((qv[:, :dlr] > theta).sum(1).mean()),
         "s_per_query": spq,
         "qps": 1.0 / spq if spq > 0 else float("nan"),
         "wall_s_total": time.time() - t0,
@@ -900,13 +936,28 @@ def main():
     ap.add_argument("--n-corpus", type=int, default=2000)
     ap.add_argument("--n-queries", type=int, default=16)
     ap.add_argument("--timing-rows", type=int, default=100_000)
+    ap.add_argument("--timing-queries", type=int, default=16)
+    ap.add_argument("--timing-dist", default="trained",
+                    choices=("trained", "legacy"))
     ap.add_argument("--skip-timing", action="store_true")
+    ap.add_argument("--timing-only", action="store_true",
+                    help="only the reference-engine timing anchor")
     ap.add_argument("--out", default=None)
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix="dhr_parity_")
     print(f"workdir: {work}", file=sys.stderr)
+    if args.timing_only:
+        report = {"reference_timing": run_reference_timing(
+            os.path.join(work, "timing"), n_rows=args.timing_rows,
+            n_queries=args.timing_queries, dist=args.timing_dist)}
+        text = json.dumps(report, indent=1)
+        print(text)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text + "\n")
+        return
     report = run_parity(work, n_corpus=args.n_corpus, n_queries=args.n_queries)
     report["training"] = run_parity_training(os.path.join(work, "training"))
     report["training_tct"] = run_parity_training(
@@ -916,7 +967,8 @@ def main():
                                      model_type="dense")
     if not args.skip_timing:
         report["reference_timing"] = run_reference_timing(
-            os.path.join(work, "timing"), n_rows=args.timing_rows)
+            os.path.join(work, "timing"), n_rows=args.timing_rows,
+            n_queries=args.timing_queries, dist=args.timing_dist)
     text = json.dumps(report, indent=1)
     print(text)
     if args.out:
