@@ -673,19 +673,34 @@ def cmd_merge_runs(args):
 
 
 def cmd_eval(args):
-    from dhr_tpu.eval import evaluate_run, mrr_at_k, recall_at_k, recall_cap_at_k
+    from dhr_tpu.eval import (
+        evaluate_run,
+        mrr_at_k,
+        recall_at_k,
+        recall_cap_at_k,
+        zero_positive_queries,
+    )
     from dhr_tpu.retrieval import read_qrels, read_run
 
     qrels = read_qrels(args.qrels)
     run = read_run(args.run)
+    # queries with no positive judgment contribute 0 to our recall metrics
+    # where BEIR's published convention is undefined (ZeroDivisionError in
+    # the reference); surface the count so cross-paper comparisons are safe
+    n_zero = zero_positive_queries(qrels)
     if args.rcap:
-        print(json.dumps({f"R_cap@{args.k}": recall_cap_at_k(qrels, run, args.k)}))
+        out = {f"R_cap@{args.k}": recall_cap_at_k(qrels, run, args.k)}
+        if n_zero:
+            out["zero_positive_queries"] = n_zero
+        print(json.dumps(out))
         return
     out = {
         "MRR@10": mrr_at_k(qrels, run, 10),
         "Recall@1000": recall_at_k(qrels, run, 1000),
     }
     out.update(evaluate_run(qrels, run, k_values=(10, 100)))
+    if n_zero:
+        out["zero_positive_queries"] = n_zero
     print(json.dumps(out, indent=1))
 
 

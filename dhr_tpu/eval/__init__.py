@@ -11,6 +11,7 @@ from dhr_tpu.eval.metrics import (
     r_precision,
     recall_at_k,
     recall_cap_at_k,
+    zero_positive_queries,
     reciprocal_rank,
     rerank_metrics,
     top_k_accuracy,
@@ -27,6 +28,7 @@ __all__ = [
     "r_precision",
     "recall_at_k",
     "recall_cap_at_k",
+    "zero_positive_queries",
     "reciprocal_rank",
     "rerank_metrics",
     "top_k_accuracy",

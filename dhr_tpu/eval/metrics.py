@@ -44,14 +44,40 @@ def mrr_at_k(qrels, run, k: int = 10) -> float:
     return total / max(n, 1)
 
 
-def recall_at_k(qrels, run, k: int = 1000) -> float:
+def zero_positive_queries(qrels) -> int:
+    """Count qrels entries with no positive judgment.  On such queries our
+    recall metrics contribute 0 where the reference (and BEIR's published
+    convention) raise ZeroDivisionError — report this count next to
+    recall numbers so cross-paper comparisons are checkable."""
+    return sum(
+        1 for rels in qrels.values()
+        if not any(r > 0 for r in rels.values())
+    )
+
+
+def _check_strict(qrels, strict: bool, what: str):
+    if strict:
+        n = zero_positive_queries(qrels)
+        if n:
+            raise ValueError(
+                f"{what}: {n} qrels queries have no positive judgment; "
+                "the reference's convention (custom_metrics.py:53-58) is "
+                "undefined there (ZeroDivisionError). Pass strict=False "
+                "to count them as 0 (our documented deviation)."
+            )
+
+
+def recall_at_k(qrels, run, k: int = 1000, strict: bool = False) -> float:
     """Macro-averaged recall at k (fraction of relevant docs retrieved).
 
     Averaged over ``len(qrels)`` queries, matching the reference's
     ``custom_metrics.py:53-56`` denominator convention; queries with no
     positive qrels contribute 0 (the reference's recall_cap would divide by
-    zero there — deliberate deviation).
+    zero there — deliberate deviation).  ``strict=True`` raises instead
+    when such queries exist, making BEIR-convention comparisons safe;
+    :func:`zero_positive_queries` reports the affected count.
     """
+    _check_strict(qrels, strict, "recall_at_k")
     total = 0.0
     for qid, rels in qrels.items():
         relevant = {d for d, r in rels.items() if r > 0}
@@ -62,14 +88,16 @@ def recall_at_k(qrels, run, k: int = 1000) -> float:
     return total / max(len(qrels), 1)
 
 
-def recall_cap_at_k(qrels, run, k: int = 100) -> float:
+def recall_cap_at_k(qrels, run, k: int = 100, strict: bool = False) -> float:
     """Capped recall: denominator is min(k, #relevant) per query.
 
     Parity: reference ``retrieval/evaluation/custom_metrics.py:34-58``
     recall_cap — sum over queries divided by ``len(qrels)``.  Queries with
     no positive qrels contribute 0 (the reference raises ZeroDivisionError
-    on those — deliberate deviation).
+    on those — deliberate deviation); ``strict=True`` raises like the
+    reference's convention instead.
     """
+    _check_strict(qrels, strict, "recall_cap_at_k")
     total = 0.0
     for qid, rels in qrels.items():
         relevant = {d for d, r in rels.items() if r > 0}

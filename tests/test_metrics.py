@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from dhr_tpu.eval import (
     average_precision,
@@ -43,6 +44,24 @@ def test_recall_and_cap():
     assert abs(recall_at_k(qrels, run, 1) - (0.5 + 0.0) / 2) < 1e-9
     # cap: q1 min(1, 2 rel)=1, top-1 has d1 -> 1.0 ; q2 0/1
     assert abs(recall_cap_at_k(qrels, run, 1) - 0.5) < 1e-9
+
+
+def test_recall_strict_and_zero_positive_count():
+    from dhr_tpu.eval import zero_positive_queries
+
+    qrels, run = simple_case()
+    qrels = dict(qrels)
+    qrels["q3"] = {"d9": 0}  # judged but no positive
+    run = dict(run)
+    run["q3"] = {"d9": 1.0}
+    assert zero_positive_queries(qrels) == 1
+    # default (documented deviation): q3 contributes 0 to the mean
+    assert abs(recall_at_k(qrels, run, 3) - 2.0 / 3) < 1e-9
+    # strict = the reference/BEIR convention: undefined -> raise
+    with pytest.raises(ValueError, match="no positive judgment"):
+        recall_at_k(qrels, run, 3, strict=True)
+    with pytest.raises(ValueError, match="no positive judgment"):
+        recall_cap_at_k(qrels, run, 1, strict=True)
 
 
 def test_hole_and_topk_accuracy():
