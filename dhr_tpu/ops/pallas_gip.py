@@ -35,6 +35,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+# Scalar-prefetch operands live in SMEM (~1 MB total on v5e, shared with
+# grid bookkeeping).  The three (B, I) prefetch arrays cost B * I * 12
+# bytes; past this budget AOT allocation fails ("Allocation type: scoped"),
+# observed at B=128, I=896 (brute-force theta=0 over a 896-dim index).
+# Both kernel wrappers chunk the query axis so each pallas_call stays under.
+_SMEM_PREFETCH_BUDGET = 512 * 1024
+
+
+def _query_chunk(B: int, n_imp: int) -> int:
+    """Largest query-chunk size whose prefetch fits the SMEM budget.
+
+    Prefers an equal divisor of ``B`` so every chunk shares one compiled
+    kernel shape; falls back to 1 (always fits: I <= vocab dims << budget).
+    """
+    per_q = n_imp * 12  # dims i32 + gates i32 + vals f32
+    if B * per_q <= _SMEM_PREFETCH_BUDGET:
+        return B
+    chunk = max(1, _SMEM_PREFETCH_BUDGET // per_q)
+    while B % chunk:
+        chunk -= 1
+    return chunk
+
 
 def _make_kernel(unroll: int, narrow_out: bool):
     """Kernel processing ``unroll`` important dims per grid step.
@@ -145,31 +167,43 @@ def pallas_partial_gip(
         )
 
     narrow_out = jnp.dtype(out_dtype) != jnp.dtype(jnp.float32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(B, n_tiles, n_imp // unroll),
-        in_specs=(
-            [vspec(j) for j in range(unroll)]
-            + [ispec(j) for j in range(unroll)]
-        ),
-        out_specs=pl.BlockSpec(
-            (1, ts, LANE),
-            lambda b, n, i, dims, gates, vals, lex: (b, n, 0),
-        ),
-        scratch_shapes=(
-            [pltpu.VMEM((1, ts, LANE), jnp.float32)] if narrow_out else []
-        ),
-    )
-    out = pl.pallas_call(
-        _make_kernel(unroll, narrow_out),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N // LANE, LANE), out_dtype),
-        interpret=interpret,
-    )(
-        imp_dims.astype(jnp.int32), imp_gates.astype(jnp.int32),
-        imp_vals.astype(jnp.float32), lex_arr,
-        *([v3] * unroll + [i3] * unroll),
-    )
+
+    def run(dims, gates, vals):
+        Bc = dims.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(Bc, n_tiles, n_imp // unroll),
+            in_specs=(
+                [vspec(j) for j in range(unroll)]
+                + [ispec(j) for j in range(unroll)]
+            ),
+            out_specs=pl.BlockSpec(
+                (1, ts, LANE),
+                lambda b, n, i, dims, gates, vals, lex: (b, n, 0),
+            ),
+            scratch_shapes=(
+                [pltpu.VMEM((1, ts, LANE), jnp.float32)] if narrow_out else []
+            ),
+        )
+        return pl.pallas_call(
+            _make_kernel(unroll, narrow_out),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Bc, N // LANE, LANE), out_dtype),
+            interpret=interpret,
+        )(
+            dims.astype(jnp.int32), gates.astype(jnp.int32),
+            vals.astype(jnp.float32), lex_arr,
+            *([v3] * unroll + [i3] * unroll),
+        )
+
+    bc = _query_chunk(B, n_imp)
+    if bc == B:
+        out = run(imp_dims, imp_gates, imp_vals)
+    else:
+        out = jnp.concatenate([
+            run(imp_dims[s:s + bc], imp_gates[s:s + bc], imp_vals[s:s + bc])
+            for s in range(0, B, bc)
+        ], axis=0)
     return out.reshape(B, N)
 
 
@@ -374,34 +408,53 @@ def pallas_gip_candidates(
         (1, ts // G, LANE),
         lambda b, n, i, dims, gates, vals, lex: (b, n, 0),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(B, n_tiles, n_imp // unroll),
-        in_specs=(
-            [vspec(j) for j in range(unroll)]
-            + [ispec(j) for j in range(unroll)]
-        ),
-        out_specs=out_spec if packed_ids else (out_spec, out_spec),
-        scratch_shapes=[pltpu.VMEM((1, ts, LANE), jnp.float32)],
-    )
     nr = N // (G * LANE)
-    if packed_ids:
-        out_shape = jax.ShapeDtypeStruct((B, nr, LANE), jnp.float32)
-    else:
-        out_shape = (
-            jax.ShapeDtypeStruct((B, nr, LANE), out_dtype),
-            jax.ShapeDtypeStruct((B, nr, LANE), jnp.int32),
+
+    def run(dims, gates, vals):
+        Bc = dims.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(Bc, n_tiles, n_imp // unroll),
+            in_specs=(
+                [vspec(j) for j in range(unroll)]
+                + [ispec(j) for j in range(unroll)]
+            ),
+            out_specs=out_spec if packed_ids else (out_spec, out_spec),
+            scratch_shapes=[pltpu.VMEM((1, ts, LANE), jnp.float32)],
         )
-    out = pl.pallas_call(
-        _make_candidates_kernel(unroll, G, packed_ids),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(
-        imp_dims.astype(jnp.int32), imp_gates.astype(jnp.int32),
-        imp_vals.astype(jnp.float32), lex_arr,
-        *([v3] * unroll + [i3] * unroll),
-    )
+        if packed_ids:
+            out_shape = jax.ShapeDtypeStruct((Bc, nr, LANE), jnp.float32)
+        else:
+            out_shape = (
+                jax.ShapeDtypeStruct((Bc, nr, LANE), out_dtype),
+                jax.ShapeDtypeStruct((Bc, nr, LANE), jnp.int32),
+            )
+        return pl.pallas_call(
+            _make_candidates_kernel(unroll, G, packed_ids),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            dims.astype(jnp.int32), gates.astype(jnp.int32),
+            vals.astype(jnp.float32), lex_arr,
+            *([v3] * unroll + [i3] * unroll),
+        )
+
+    bc = _query_chunk(B, n_imp)
+    if bc == B:
+        out = run(imp_dims, imp_gates, imp_vals)
+    elif packed_ids:
+        out = jnp.concatenate([
+            run(imp_dims[s:s + bc], imp_gates[s:s + bc], imp_vals[s:s + bc])
+            for s in range(0, B, bc)
+        ], axis=0)
+    else:
+        chunks = [
+            run(imp_dims[s:s + bc], imp_gates[s:s + bc], imp_vals[s:s + bc])
+            for s in range(0, B, bc)
+        ]
+        out = (jnp.concatenate([c[0] for c in chunks], axis=0),
+               jnp.concatenate([c[1] for c in chunks], axis=0))
     if packed_ids:
         return out.reshape(B, N // G)
     red_v, red_r = out

@@ -269,3 +269,75 @@ def test_searcher_fused_candidates_sharded_mesh(rng, eight_devices):
     sm, rm = sharded.search(qv, qi)
     np.testing.assert_array_equal(rs[:, :10], rm[:, :10])
     np.testing.assert_allclose(ss[:, :10], sm[:, :10], rtol=1e-5, atol=1e-5)
+
+
+def test_query_chunk_arithmetic():
+    """Chunk size divides B and keeps B_chunk * I * 12 under the budget."""
+    from dhr_tpu.ops import pallas_gip as pg
+
+    budget = pg._SMEM_PREFETCH_BUDGET
+    # the observed failure point: B=128, I=896 (brute-force over 896 dims)
+    bc = pg._query_chunk(128, 896)
+    assert 128 % bc == 0 and bc < 128
+    assert bc * 896 * 12 <= budget
+    # bench point fits un-chunked: B=128, I=48
+    assert pg._query_chunk(128, 48) == 128
+    # degenerate: even one query over the budget still returns >= 1
+    assert pg._query_chunk(1, budget) == 1
+
+
+def test_pallas_kernel_chunked_queries_match_unchunked(rng, monkeypatch):
+    """A tiny SMEM budget forces query chunking; scores must be identical
+    to the jnp reference (and hence to the unchunked kernel)."""
+    from dhr_tpu.ops import pallas_gip as pg
+
+    B, N, I, lex, cls, k = 6, 384, 7, 16, 4, 5
+    D = lex + cls
+    values_T = jnp.asarray(rng.random((D, N)), jnp.float32)
+    indices_T = jnp.asarray(rng.integers(0, k, (lex, N)), jnp.int8)
+    qv = jnp.asarray(
+        np.where(rng.random((B, D)) > 0.5, rng.random((B, D)), 0.0),
+        jnp.float32)
+    qi = jnp.asarray(np.concatenate(
+        [rng.integers(0, k, (B, lex)), np.ones((B, cls))], axis=1), jnp.int32)
+    want = np.asarray(_partial_gip_scores(qv, qi, values_T, indices_T, lex, I))
+    # padded I=8 -> 96 B/query; budget 200 -> chunk of 2 queries
+    monkeypatch.setattr(pg, "_SMEM_PREFETCH_BUDGET", 200)
+    pg.pallas_partial_gip.clear_cache()  # drop any unchunked cached trace
+    assert pg._query_chunk(B, 8) == 2
+    got = np.asarray(partial_gip_scores_pallas(
+        qv, qi, values_T, indices_T, lex, I, n_tile=128, interpret=True,
+        unroll=4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_fused_candidates_chunked_queries_match_unchunked(
+        rng, monkeypatch, packed):
+    """Query chunking in the fused-candidates kernel: both output variants
+    must equal the unchunked run exactly."""
+    from dhr_tpu.ops import pallas_gip as pg
+    from dhr_tpu.ops.pallas_gip import partial_gip_candidates_pallas
+
+    B, N, I, lex, cls, k, G = 6, 768, 7, 16, 4, 5, 2
+    D = lex + cls
+    values_T = np.round(rng.random((D, N)) * 8) / 8
+    indices_T = rng.integers(0, k, (lex, N)).astype(np.int8)
+    qv = np.where(rng.random((B, D)) > 0.5, rng.random((B, D)), 0.0)
+    qi = np.concatenate(
+        [rng.integers(0, k, (B, lex)), np.ones((B, cls))], axis=1
+    ).astype(np.int32)
+    args = (jnp.asarray(qv, jnp.float32), jnp.asarray(qi),
+            jnp.asarray(values_T, jnp.float32), jnp.asarray(indices_T))
+    kw = dict(n_tile=256, interpret=True, unroll=4, reduce_block=G,
+              out_dtype=jnp.float32, packed_ids=packed)
+    ref = partial_gip_candidates_pallas(*args, lex, I, **kw)
+    monkeypatch.setattr(pg, "_SMEM_PREFETCH_BUDGET", 200)
+    pg.pallas_gip_candidates.clear_cache()  # force a re-trace under the
+    assert pg._query_chunk(B, 8) == 2       # patched budget
+    got = partial_gip_candidates_pallas(*args, lex, I, **kw)
+    if packed:
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    else:
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
