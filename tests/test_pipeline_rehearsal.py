@@ -1,0 +1,62 @@
+"""CI-scale checks for the pipeline dress-rehearsal tool (tools/
+pipeline_rehearsal.py): the synthetic topical wordpiece world and the
+theta-auto calibration.  The full run (train -> encode -> index -> search
+-> eval through the CLI verbs) is exercised by the tool itself with
+``--quick``; these tests pin the world-generator properties that make the
+rehearsal's learn-to-retrieve assertion meaningful."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from pipeline_rehearsal import (  # noqa: E402
+    FIRST_TOKEN,
+    VOCAB,
+    make_queries,
+    make_world,
+    zipf_background,
+)
+
+
+def test_world_token_ranges_and_lengths():
+    rng = np.random.default_rng(0)
+    passages, z, pools = make_world(rng, n_topics=8, pool_size=12,
+                                    n_corpus=64)
+    assert len(passages) == 64 and z.shape == (64,) and pools.shape == (8, 12)
+    for p in passages:
+        a = np.asarray(p)
+        assert 16 <= len(a) <= 120
+        assert a.min() >= FIRST_TOKEN and a.max() < VOCAB
+
+
+def test_zipf_background_is_skewed():
+    rng = np.random.default_rng(1)
+    toks = zipf_background(rng, 20000)
+    # head-heavy: the lowest-5% token band holds far more than 5% of mass
+    head = (toks < FIRST_TOKEN + (VOCAB - FIRST_TOKEN) // 20).mean()
+    assert head > 0.3
+
+
+def test_queries_come_from_source_passage():
+    rng = np.random.default_rng(2)
+    passages, z, pools = make_world(rng, n_topics=4, pool_size=12,
+                                    n_corpus=32)
+    pids = np.arange(8)
+    queries = make_queries(rng, passages, z, pools, pids)
+    assert len(queries) == 8
+    for q, pid in zip(queries, pids):
+        assert 4 <= len(q) <= 8
+        assert set(q) <= set(passages[pid])
+
+
+def test_theta_auto_targets_40_dims():
+    # mirror of the tool's auto rule: median query scans ~40 dims
+    rng = np.random.default_rng(3)
+    qvals = np.abs(rng.normal(0.0, 0.5, (32, 768))).astype(np.float32)
+    kth = np.sort(qvals, axis=1)[:, -40]
+    theta = max(float(np.median(kth)), 1e-3)
+    above = (qvals > theta).sum(axis=1)
+    assert 20 <= np.median(above) <= 60
