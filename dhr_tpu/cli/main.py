@@ -1100,11 +1100,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "gather). 'auto' = on when the reduced pool "
                         "comfortably covers the candidate count")
     p.add_argument("--escalate-pool", type=int, default=0,
-                   help="two-tier escalation: tier-1 candidate pool size "
-                        "(e.g. 2000); queries whose reranked topk-th score "
-                        "sits within --escalate-margin of the tier-1 "
-                        "stage-1 pool floor re-dispatch at the full "
-                        "--agip-topk. 0 disables")
+                   help="EXPERIMENTAL two-tier escalation: tier-1 candidate "
+                        "pool size (e.g. 2000); queries whose reranked "
+                        "topk-th score sits within --escalate-margin of the "
+                        "tier-1 stage-1 pool floor re-dispatch at the full "
+                        "--agip-topk. 0 disables. Measured on both bench "
+                        "distributions the calibrated trigger over-fires "
+                        "~3x (docs/design.md); prefer a static --agip-topk "
+                        "reduction first and calibrate per corpus")
     p.add_argument("--escalate-margin", type=float, default=0.0,
                    help="escalation trigger margin (see --escalate-pool; "
                         "calibrate with --escalate-calibrate)")
@@ -1173,11 +1176,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused candidate block-reduction "
                         "(see 'search --fused-candidates')")
     p.add_argument("--escalate-pool", type=int, default=0,
-                   help="two-tier escalation: tier-1 candidate pool size "
-                        "(e.g. 2000); queries whose reranked topk-th score "
-                        "sits within --escalate-margin of the tier-1 "
-                        "stage-1 pool floor re-dispatch at the full "
-                        "--agip-topk. 0 disables")
+                   help="EXPERIMENTAL two-tier escalation: tier-1 candidate "
+                        "pool size (e.g. 2000); queries whose reranked "
+                        "topk-th score sits within --escalate-margin of the "
+                        "tier-1 stage-1 pool floor re-dispatch at the full "
+                        "--agip-topk. 0 disables. Measured on both bench "
+                        "distributions the calibrated trigger over-fires "
+                        "~3x (docs/design.md); prefer a static --agip-topk "
+                        "reduction first and calibrate per corpus")
     p.add_argument("--escalate-margin", type=float, default=0.0,
                    help="escalation trigger margin (see --escalate-pool; "
                         "calibration notes in docs/design.md)")
