@@ -533,31 +533,46 @@ def cmd_search(args):
     mesh = None
     if args.shard_over_devices and len(jax.devices()) > 1:
         mesh = make_mesh(axis="index")
-    searcher = Searcher(
-        DeviceIndex.from_packed(packed, mesh=mesh,
-                                value_dtype=_value_dtype(args.value_dtype),
-                                layout=_resolve_layout(args)),
-        SearchConfig(
-            topk=args.topk,
-            mode="pq" if getattr(args, "pqip", False) else (
-                "ip" if args.ip else "gip"),
-            theta=0.0 if args.brute_force else args.theta,
-            rerank=args.rerank,
-            agip_topk=args.agip_topk,
-            lam=args.lamda,
-            max_important_dims=args.max_important_dims,
-            query_batch=args.query_batch,
-            approx_candidates=not args.exact_candidates,
-            candidate_recall=args.candidate_recall,
-            candidate_bf16=not args.no_candidate_bf16,
-            candidate_slices=args.candidate_slices,
-            fused_candidates={"off": False, "on": True,
-                              "auto": "auto"}[args.fused_candidates],
-            candidate_block=args.candidate_block,
-            escalate_pool=args.escalate_pool,
-            escalate_margin=args.escalate_margin,
-        ),
+    device_index = DeviceIndex.from_packed(
+        packed, mesh=mesh, value_dtype=_value_dtype(args.value_dtype),
+        layout=_resolve_layout(args))
+    search_cfg = SearchConfig(
+        topk=args.topk,
+        mode="pq" if getattr(args, "pqip", False) else (
+            "ip" if args.ip else "gip"),
+        theta=0.0 if args.brute_force else args.theta,
+        rerank=args.rerank,
+        agip_topk=args.agip_topk,
+        lam=args.lamda,
+        max_important_dims=args.max_important_dims,
+        query_batch=args.query_batch,
+        approx_candidates=not args.exact_candidates,
+        candidate_recall=args.candidate_recall,
+        candidate_bf16=not args.no_candidate_bf16,
+        candidate_slices=args.candidate_slices,
+        fused_candidates={"off": False, "on": True,
+                          "auto": "auto"}[args.fused_candidates],
+        candidate_block=args.candidate_block,
+        escalate_pool=args.escalate_pool,
+        escalate_margin=args.escalate_margin,
     )
+    if getattr(args, "pool_calibrate", None):
+        # measure the agip_topk throughput/quality frontier on these
+        # queries and print the per-pool table + recommendation as JSON
+        from dhr_tpu.retrieval import calibrate_pool
+
+        report = calibrate_pool(
+            device_index, search_cfg, qv, qi,
+            pools=[int(x) for x in args.pool_calibrate.split(",")],
+            overlap_target=args.pool_overlap_target,
+            passes=args.pool_passes,
+        )
+        print(json.dumps(report))
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump(report, f)
+        return
+    searcher = Searcher(device_index, search_cfg)
     if getattr(args, "escalate_calibrate", False):
         # measure the small-vs-full pool gap on these queries and print the
         # recommended --escalate-margin (plus the evidence) as JSON
@@ -1119,6 +1134,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--escalate-miss-mass", type=float, default=0.95,
                    help="calibration target: fraction of the missing-row "
                         "mass the escalated queries must cover")
+    p.add_argument("--pool-calibrate", default=None,
+                   help="instead of searching, sweep these comma-separated "
+                        "--agip-topk pool sizes on these queries (e.g. "
+                        "'10000,5000,2000') and print per-pool q/s + "
+                        "final-top-k overlap vs the largest pool, with the "
+                        "smallest pool meeting --pool-overlap-target "
+                        "recommended; the pool is the main "
+                        "throughput/quality lever of the rerank path "
+                        "(docs/design.md) and the right size is "
+                        "corpus-dependent")
+    p.add_argument("--pool-overlap-target", type=float, default=0.99,
+                   help="mean top-k overlap a pool must keep vs the "
+                        "largest pool to be recommended")
+    p.add_argument("--pool-passes", type=int, default=3,
+                   help="timed passes per pool, interleaved round-robin "
+                        "so clock drift cancels")
     p.add_argument("--candidate-block", type=int, default=8,
                    help="row-group size for --fused-candidates")
     p.add_argument("--layout", default="auto",

@@ -1023,3 +1023,101 @@ class Searcher:
             results[str(qid)] = [str(docids[j]) for j in rows[i][keep]]
             out_scores[str(qid)] = [float(x) for x in scores[i][keep]]
         return results, out_scores
+
+
+def calibrate_pool(index: DeviceIndex, config: SearchConfig,
+                   query_values, query_indices=None,
+                   pools=(10000, 5000, 2000, 1000),
+                   overlap_target: float = 0.99, passes: int = 3):
+    """Measure the candidate-pool throughput/quality frontier on a query
+    sample and recommend the smallest ``agip_topk`` whose final top-k
+    overlaps the largest pool's at ``overlap_target``.
+
+    The pool is the dominant throughput/quality lever of the rerank path:
+    the candidate top-k is k-bound and the rerank gather is
+    pool-proportional, so shrinking the pool cuts the two non-theta stages
+    (measured on the trained-rep bench distribution: 10k -> 2000 buys
+    1.45x at top-1000 overlap 0.972 with top-10 unchanged — design.md
+    "Operating-point re-sweep").  The right pool is corpus-dependent, so —
+    like :meth:`Searcher.calibrate_escalation` — this runs the measurement
+    per index on a held-out query sample.  The reference engine scores
+    every row and has no such knob (gip_retrieval.py:128-156); its
+    ``--agip_topk`` only sizes the rerank.
+
+    Timing passes are interleaved round-robin across the pools so relay /
+    clock drift cancels instead of crediting whichever config ran in the
+    fast minutes (the protocol that exposed a fake 8.5% unroll win in the
+    round-4 sweep).  Quality (overlap vs the largest pool) comes from the
+    warmup pass — rankings are deterministic across passes.
+
+    Returns a dict: per-pool ``{qps_median, qps_best, overlap_mean,
+    overlap_min}`` plus ``recommended_pool`` — the smallest pool in the
+    descending run of pools that all meet the target (the largest pool
+    trivially qualifies, so it is also the "no change" answer) — and the
+    sample/protocol metadata.
+    """
+    import time
+
+    if not config.rerank:
+        raise ValueError("calibrate_pool sweeps agip_topk, which only "
+                         "exists on the rerank path (rerank=True)")
+    pools = sorted({int(p) for p in pools}, reverse=True)
+    if len(pools) < 2:
+        raise ValueError("calibrate_pool needs at least two pool sizes")
+    if pools[-1] < config.topk:
+        raise ValueError(
+            f"every pool must be >= topk={config.topk} (got {pools[-1]})"
+        )
+    searchers = {
+        p: Searcher(index, dataclasses.replace(
+            config, agip_topk=p, escalate_pool=0))
+        for p in pools
+    }
+    n_rows = index.num_rows
+    rows_by_pool = {}
+    for p in pools:  # warmup (compile) pass; also the quality measurement
+        _, rows = searchers[p].search(query_values, query_indices)
+        rows_by_pool[p] = rows
+    B = rows_by_pool[pools[0]].shape[0]
+    times = {p: [] for p in pools}
+    for i in range(passes):
+        order = pools if i % 2 == 0 else pools[::-1]
+        for p in order:
+            t0 = time.monotonic()
+            searchers[p].search(query_values, query_indices)
+            times[p].append(time.monotonic() - t0)
+    ref_rows = rows_by_pool[pools[0]]
+    report = {
+        "topk": config.topk,
+        "n_queries": B,
+        "passes": passes,
+        "overlap_target": overlap_target,
+        "reference_pool": pools[0],
+        "pools": {},
+    }
+    for p in pools:
+        ov = np.array([
+            len(np.intersect1d(
+                rows_by_pool[p][i][rows_by_pool[p][i] < n_rows],
+                ref_rows[i][ref_rows[i] < n_rows],
+            )) / config.topk
+            for i in range(B)
+        ])
+        med = float(np.median(times[p]))
+        report["pools"][p] = {
+            "qps_median": round(B / med, 1),
+            "qps_best": round(B / min(times[p]), 1),
+            "pass_s": [round(t, 4) for t in times[p]],
+            "overlap_mean": round(float(ov.mean()), 4),
+            "overlap_min": round(float(ov.min()), 4),
+        }
+    # smallest pool of the descending all-qualify prefix: stop at the first
+    # miss so a fluke qualifier below a disqualified pool is never picked
+    recommended = pools[0]
+    for p in pools:
+        if report["pools"][p]["overlap_mean"] >= overlap_target:
+            recommended = p
+        else:
+            break
+    report["recommended_pool"] = recommended
+    return report
