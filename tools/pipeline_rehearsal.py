@@ -49,6 +49,7 @@ VOCAB = 30522
 FIRST_TOKEN = 999  # below: specials + unused wordpiece slots
 REMOVE = 570
 CLS_ID, SEP_ID = 101, 102
+VERB_TIMEOUT_S = 3600  # overridable via --verb-timeout (1M-scale runs)
 
 
 def log(*a):
@@ -107,7 +108,8 @@ def make_queries(rng, passages, z, pools, source_pids, q_min=4, q_max=8,
 # ------------------------------------------------------------ verb running
 
 
-def run_verb(name, argv, env, timings, timeout=3600):
+def run_verb(name, argv, env, timings, timeout=None):
+    timeout = timeout or VERB_TIMEOUT_S
     log("verb:", name, " ".join(argv[:8]), "...")
     t0 = time.time()
     proc = subprocess.run(
@@ -207,7 +209,12 @@ def main():
     ap.add_argument("--encode-batch", type=int, default=None)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--verb-timeout", type=int, default=3600,
+                    help="per-CLI-verb wall-clock cap in seconds; raise "
+                    "for 1M-scale runs on a slow relay day")
     args = ap.parse_args()
+    global VERB_TIMEOUT_S
+    VERB_TIMEOUT_S = args.verb_timeout
 
     q = args.quick
     args.n_corpus = args.n_corpus or (2048 if q else 102_400)
