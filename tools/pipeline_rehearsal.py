@@ -212,6 +212,11 @@ def main():
     ap.add_argument("--verb-timeout", type=int, default=3600,
                     help="per-CLI-verb wall-clock cap in seconds; raise "
                     "for 1M-scale runs on a slow relay day")
+    ap.add_argument("--n-topics", type=int, default=None,
+                    help="topic count; default scales with the corpus "
+                    "(n_corpus // 200) so every scale keeps the intended "
+                    "~200 same-topic cousins per source passage")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     global VERB_TIMEOUT_S
     VERB_TIMEOUT_S = args.verb_timeout
@@ -224,7 +229,13 @@ def main():
     args.learning_rate = args.learning_rate or (1e-3 if q else 3e-4)
     args.query_batch = args.query_batch or (32 if q else 128)
     args.encode_batch = args.encode_batch or (32 if q else 64)
-    n_topics = 32 if q else 512
+    # Difficulty must not silently scale with corpus size: the task is
+    # "rank the source among ~200 same-topic cousins" (make_queries
+    # docstring).  A FIXED topic count at 1M passages makes each topic
+    # ~2000 cousins — a 10x harder task that a 400-step toy model cannot
+    # rank at MRR@10 (measured: the first 1M run improved Recall@1000
+    # 2.8x but MRR@10 stayed flat).  Scale topics with the corpus.
+    n_topics = args.n_topics or (32 if q else max(64, args.n_corpus // 200))
     pool_size = 16 if q else 48
     hidden, layers, heads, ff = (
         (64, 2, 2, 128) if q else (256, 4, 4, 1024))
@@ -246,7 +257,7 @@ def main():
     from dhr_tpu.data.examples import write_jsonl
 
     t0 = time.time()
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     passages, z, pools = make_world(
         rng, n_topics, pool_size, args.n_corpus)
     corpus_path = os.path.join(work, "corpus.jsonl")
@@ -354,9 +365,12 @@ def main():
         with open(args.out, "w") as f:
             f.write(text + "\n")
     if not report["mrr_improves"]:
+        # exit 2 = QUALITY failure (deterministic given the seed) — runner
+        # scripts must NOT retry it as if it were a relay flap; rc 1 stays
+        # the infra-failure code (verb crash / timeout raises above).
         log("FAIL: trained MRR@10 did not beat untrained "
             f"({mrr_trained} <= {mrr_untrained})")
-        sys.exit(1)
+        sys.exit(2)
     log(f"OK: MRR@10 {mrr_untrained} -> {mrr_trained}")
 
 
