@@ -1,7 +1,10 @@
-"""ctypes bindings for the C++ host runtime (``native/dhr_native.cpp``).
+"""ctypes bindings for the C++ host runtime
+(``dhr_tpu/native_src/dhr_native.cpp``).
 
-The library is built on demand with g++ into ``build/libdhr_native.so`` and
-cached; every entry point has a pure-Python fallback, so the framework works
+The library is built on demand with g++ and cached — into ``build/`` next
+to the package in a writable dev checkout, else into
+``~/.cache/dhr_tpu`` (pip-installed site-packages are often read-only).
+Every entry point has a pure-Python fallback, so the framework works
 without a compiler (``available()`` reports which path is active).
 """
 
@@ -13,9 +16,19 @@ import subprocess
 
 import numpy as np
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_REPO, "native", "dhr_native.cpp")
-_SO = os.path.join(_REPO, "build", "libdhr_native.so")
+_PKG = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_PKG, "native_src", "dhr_native.cpp")
+
+
+def _so_path() -> str:
+    dev_dir = os.path.join(os.path.dirname(_PKG), "build")
+    if os.access(os.path.dirname(_PKG), os.W_OK):
+        return os.path.join(dev_dir, "libdhr_native.so")
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "dhr_tpu", "libdhr_native.so")
+
+
+_SO = _so_path()
 
 _lib = None
 _tried = False
