@@ -140,3 +140,20 @@ def test_plan_packing_native_matches_python(rng, monkeypatch):
         assert len(got) == len(want), lengths[:8]
         for rg, rw in zip(got, want):
             assert [int(i) for i in rg] == list(rw)
+
+
+def test_so_path_prefers_dev_build_dir_else_user_cache(monkeypatch):
+    """Installed read-only layouts must cache the .so under ~/.cache
+    (pip site-packages are often not writable); dev checkouts keep
+    using build/ next to the package."""
+    import os
+
+    pkg_parent = os.path.dirname(native._PKG)
+    monkeypatch.setattr(os, "access", lambda p, m: True)
+    assert native._so_path() == os.path.join(
+        pkg_parent, "build", "libdhr_native.so")
+    monkeypatch.setattr(os, "access", lambda p, m: False)
+    cached = native._so_path()
+    assert cached.endswith(os.path.join(
+        ".cache", "dhr_tpu", "libdhr_native.so"))
+    assert not cached.startswith(pkg_parent)
