@@ -362,7 +362,10 @@ def main():
     anchor_qps = (REFERENCE_QPS_MEASURED_CPU_100K * 100_000 / N_ROWS
                   * REFERENCE_CPU_THREADS)
     result = {
-        "metric": "GIP queries/sec, 1 chip, 1.64M-passage index, theta=0.3+rerank@10k, int8 planes, trained-rep distribution",
+        "metric": (
+            f"GIP queries/sec, 1 chip, {N_ROWS / 1e6:.2f}M-passage index, "
+            "theta=0.3+rerank@10k, int8 planes, trained-rep distribution"
+        ),
         "value": round(qps, 2),
         "unit": "queries/sec",
         "vs_baseline": round(qps / anchor_qps, 3),
