@@ -671,9 +671,19 @@ def cmd_serve(args):
             _dc.replace(searcher.config,
                         query_batch=args.low_latency_batch),
         )
+    index_loader = None
+    if args.allow_reload:
+        def index_loader(path):
+            # same mesh/layout knobs as the boot-time index, so a reload
+            # is exactly "the same service over new data"
+            return DeviceIndex.from_packed(
+                PackedIndex.load(path), mesh=mesh,
+                layout=_resolve_layout(args))
+
     serve(searcher, host=args.host, port=args.port,
           micro_batch_ms=args.micro_batch_ms, small_searcher=small,
-          query_encoder=query_encoder, max_pending=args.max_pending)
+          query_encoder=query_encoder, max_pending=args.max_pending,
+          index_loader=index_loader)
 
 
 def cmd_merge_runs(args):
@@ -1237,6 +1247,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "small-batch search program over the same index; "
                         "pools that fit it skip the full padded batch "
                         "(lone queries get low latency)")
+    p.add_argument("--allow-reload", action="store_true",
+                   help="enable POST /admin/reload {\"index_path\": ...}: "
+                        "load a new index and swap it in without "
+                        "restarting (in-flight requests finish on the old "
+                        "index; needs HBM headroom for both during the "
+                        "overlap)")
     p.set_defaults(_subparser=p, fn=cmd_serve)
 
     p = sub.add_parser("merge-runs")

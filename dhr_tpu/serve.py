@@ -14,6 +14,11 @@ index resident and answers queries from a small stdlib HTTP server:
                          reference's script pipeline cannot do
 - ``GET /healthz``       {"status": "ok", "rows": N}
 - ``GET /stats``         index diagnostics (retrieval/stats.py)
+- ``POST /admin/reload`` {"index_path": "..."} (needs ``serve
+                         --allow-reload``): load a new index and swap it
+                         in without restarting the service — in-flight
+                         requests finish on the old index, later ones run
+                         on the new (see :meth:`SearchService.reload`)
 
 Two execution modes:
 
@@ -39,6 +44,10 @@ from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 import numpy as np
 
 logger = logging.getLogger("dhr_tpu.serve")
+
+# queue sentinel: wakes the MicroBatcher worker so a pending searcher swap
+# applies promptly even with no traffic (never delivered to clients)
+_SWAP_WAKE = object()
 
 
 class ServiceOverloaded(Exception):
@@ -101,8 +110,23 @@ class MicroBatcher:
         self.rejects = 0
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._carry = None  # request pulled but too big for the last pool
+        self._swap = None   # pending (searcher, small) set by swap()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def swap(self, searcher, small_searcher=None):
+        """Atomically hand the worker a new searcher pair (index reload).
+
+        The worker applies it between pools, so a batch never mixes
+        indexes; the in-flight pool finishes on the old index and every
+        later pool runs on the new one.  Old device buffers free once the
+        worker drops its reference.
+        """
+        self._swap = (searcher, small_searcher)
+        try:
+            self._q.put_nowait(_SWAP_WAKE)
+        except queue.Full:
+            pass  # worker is busy; it applies the swap before its next pool
 
     def search(self, qids, values, indices):
         # validate + convert BEFORE pooling: a malformed request must fail
@@ -124,12 +148,18 @@ class MicroBatcher:
         return slot["results"], slot["scores"]
 
     def _loop(self):
-        cap = self.searcher.config.query_batch
         while True:
+            if self._swap is not None:
+                self.searcher, self.small = self._swap
+                self._swap = None
+            cap = self.searcher.config.query_batch
             if self._carry is not None:
                 batch, self._carry = [self._carry], None
             else:
-                batch = [self._q.get()]
+                item = self._q.get()
+                if item is _SWAP_WAKE:
+                    continue
+                batch = [item]
             n = len(batch[0][0])
             deadline = time.perf_counter() + self.window
             while n < cap:
@@ -140,6 +170,9 @@ class MicroBatcher:
                     item = self._q.get(timeout=timeout)
                 except queue.Empty:
                     break
+                if item is _SWAP_WAKE:
+                    # swap applies at the next pool; never mid-pool
+                    continue
                 if n + len(item[0]) > cap:
                     # admitting it would overflow the pool past one padded
                     # program (and disqualify the low-latency route); hold
@@ -207,13 +240,19 @@ class SearchService:
     ``query_encoder``: optional callable ``(list[str]) -> (values,
     indices_or_None)`` enabling the ``/search_text`` endpoint (raw query
     strings in, rankings out).
+
+    ``index_loader``: optional callable ``(path) -> DeviceIndex`` enabling
+    the ``POST /admin/reload`` endpoint (zero-restart index refresh).
     """
 
     def __init__(self, searcher, micro_batch_ms: float = 0.0,
                  small_searcher=None, query_encoder=None,
-                 max_pending: int = 0):
+                 max_pending: int = 0, index_loader=None):
         self.searcher = searcher
         self.query_encoder = query_encoder
+        self.index_loader = index_loader
+        self.reloads = 0
+        self._reload_lock = threading.Lock()
         self.batcher = (
             MicroBatcher(searcher, micro_batch_ms,
                          small_searcher=small_searcher,
@@ -247,6 +286,46 @@ class SearchService:
         results, scores = self._run(qids, values, indices)
         return {"results": results, "scores": scores}
 
+    def reload(self, payload: dict) -> dict:
+        """Swap in a freshly loaded index without restarting the service.
+
+        The new index uploads while the old one keeps serving (needs HBM
+        headroom for both during the overlap; at full-chip index sizes
+        run reloads against a half-size index or restart instead).  The
+        swap is atomic per pool: in-flight requests finish on the old
+        index, every later request runs on the new one, and the old
+        device buffers free when the last reference drops.  The first
+        search after a reload recompiles if the row count changed
+        (programs are shape-specialized).  Search configs (theta, pools,
+        batch sizes) carry over unchanged.
+        """
+        if self.index_loader is None:
+            raise ValueError(
+                "index reload is disabled (start with serve --allow-reload)"
+            )
+        import dataclasses
+
+        from dhr_tpu.retrieval import Searcher
+
+        path = payload["index_path"]
+        with self._reload_lock:  # one reload at a time; uploads are big
+            index = self.index_loader(path)
+            new = Searcher(index, dataclasses.replace(self.searcher.config))
+            new_small = None
+            if self.batcher is not None and self.batcher.small is not None:
+                new_small = Searcher(
+                    index,
+                    dataclasses.replace(self.batcher.small.config),
+                )
+            if self.batcher is not None:
+                self.batcher.swap(new, new_small)
+            self.searcher = new
+            self.reloads += 1
+            logger.info("reloaded index from %s (%d rows)", path,
+                        index.num_rows)
+            return {"status": "ok", "rows": int(index.num_rows),
+                    "index_path": path, "reloads": self.reloads}
+
     def stats(self) -> dict:
         idx = self.searcher.index
         out = {
@@ -268,6 +347,8 @@ class SearchService:
                 if self.batcher is not None and self.batcher.small is not None
                 else 0
             )
+        if self.index_loader is not None:
+            out["reloads"] = self.reloads
         if self.batcher is not None:
             out["micro_batches_run"] = self.batcher.batches_run
             out["micro_batch_max_queries"] = self.batcher.max_batch_seen
@@ -308,7 +389,8 @@ def make_handler(service: SearchService):
 
         def do_POST(self):
             fn = {"/search": service.search,
-                  "/search_text": service.search_text}.get(self.path)
+                  "/search_text": service.search_text,
+                  "/admin/reload": service.reload}.get(self.path)
             if fn is None:
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -327,7 +409,7 @@ def make_handler(service: SearchService):
 
 def serve(searcher, host: str = "127.0.0.1", port: int = 8080,
           micro_batch_ms: float = 0.0, small_searcher=None,
-          query_encoder=None, max_pending: int = 0):
+          query_encoder=None, max_pending: int = 0, index_loader=None):
     """Blocking serve loop.
 
     ``micro_batch_ms > 0`` switches to the threaded server + device-worker
@@ -335,12 +417,14 @@ def serve(searcher, host: str = "127.0.0.1", port: int = 8080,
     share one padded program dispatch.  ``small_searcher`` adds the
     low-latency small-batch route for pools that fit it.  ``query_encoder``
     enables ``/search_text``.  ``max_pending`` bounds the ingress queue
-    (excess requests get HTTP 503 + ``Retry-After``).
+    (excess requests get HTTP 503 + ``Retry-After``).  ``index_loader``
+    enables ``POST /admin/reload`` (zero-restart index refresh).
     """
     service = SearchService(searcher, micro_batch_ms=micro_batch_ms,
                             small_searcher=small_searcher,
                             query_encoder=query_encoder,
-                            max_pending=max_pending)
+                            max_pending=max_pending,
+                            index_loader=index_loader)
     server_cls = ThreadingHTTPServer if micro_batch_ms > 0 else HTTPServer
     server = server_cls((host, port), make_handler(service))
     logger.info("serving %d rows on %s:%d (micro_batch_ms=%s)",

@@ -7,6 +7,7 @@ import urllib.request
 from http.server import HTTPServer
 
 import numpy as np
+import pytest
 
 from dhr_tpu.retrieval import DeviceIndex, PackedIndex, SearchConfig, Searcher
 from dhr_tpu.serve import SearchService, make_handler
@@ -616,3 +617,101 @@ def test_stats_sums_escalations_across_routes(rng):
     assert stats["escalate_pool"] == 10
     assert stats["escalated_queries"] == small.escalated_queries == 1
     assert searcher.escalated_queries == 0
+
+
+def _packed(rng, n, tag):
+    values = (rng.random((n, 12)) + 0.1).astype(np.float16)
+    indices = rng.integers(0, 3, (n, 12)).astype(np.uint8)
+    docids = np.asarray([f"{tag}{i}" for i in range(n)], dtype=object)
+    return PackedIndex(values, indices, docids, lex_dim=12)
+
+
+def test_admin_reload_swaps_index_without_restart(rng, tmp_path):
+    """POST /admin/reload: rankings come from the NEW corpus afterwards,
+    /stats reflects the new row count, and search configs carry over."""
+    old = _packed(rng, 32, "old")
+    new = _packed(rng, 48, "new")
+    new_path = str(tmp_path / "new_index.npz")
+    new.save(new_path)
+
+    searcher = Searcher(
+        DeviceIndex.from_packed(old),
+        SearchConfig(topk=5, mode="gip", theta=0.0, query_batch=4),
+    )
+    service = SearchService(
+        searcher,
+        index_loader=lambda p: DeviceIndex.from_packed(PackedIndex.load(p)),
+    )
+    r, _ = service._run(["q0"], old.values[:1].astype(np.float32),
+                        old.indices[:1].astype(np.int32))
+    assert r["q0"][0] == "old0"
+
+    out = service.reload({"index_path": new_path})
+    assert out == {"status": "ok", "rows": 48, "index_path": new_path,
+                   "reloads": 1}
+    assert service.stats()["rows"] == 48
+    assert service.stats()["reloads"] == 1
+    r, _ = service._run(["q0"], new.values[:1].astype(np.float32),
+                        new.indices[:1].astype(np.int32))
+    assert r["q0"][0] == "new0"
+    assert all(d.startswith("new") for d in r["q0"])
+
+
+def test_admin_reload_micro_batch_and_low_latency_routes(rng, tmp_path):
+    """With the coalescing worker + small-batch route, a reload must swap
+    BOTH searchers between pools (requests never mix indexes)."""
+    old = _packed(rng, 32, "old")
+    new = _packed(rng, 32, "new")
+    new_path = str(tmp_path / "new_index.npz")
+    new.save(new_path)
+
+    idx = DeviceIndex.from_packed(old)
+    cfg = SearchConfig(topk=5, mode="gip", theta=0.0, query_batch=8)
+    import dataclasses
+    service = SearchService(
+        Searcher(idx, cfg), micro_batch_ms=5.0,
+        small_searcher=Searcher(idx, dataclasses.replace(cfg, query_batch=2)),
+        index_loader=lambda p: DeviceIndex.from_packed(PackedIndex.load(p)),
+    )
+    qv = old.values[:1].astype(np.float32)
+    qi = old.indices[:1].astype(np.int32)
+    r, _ = service._run(["q0"], qv, qi)
+    assert r["q0"][0] == "old0"
+
+    service.reload({"index_path": new_path})
+    # single query -> low-latency route; must already see the new index
+    r, _ = service._run(["q0"], new.values[:1].astype(np.float32),
+                        new.indices[:1].astype(np.int32))
+    assert r["q0"][0] == "new0"
+    assert service.batcher.small.config.query_batch == 2  # route survived
+    # multi-query -> full route on the new index too
+    r, _ = service._run(
+        ["a", "b", "c"], new.values[1:4].astype(np.float32),
+        new.indices[1:4].astype(np.int32))
+    assert r["a"][0] == "new1"
+
+
+def test_admin_reload_disabled_is_an_error(rng):
+    service, packed = build_service(rng)
+    with pytest.raises(ValueError, match="--allow-reload"):
+        service.reload({"index_path": "/nonexistent.npz"})
+    # and over HTTP it maps to a 400 with the reason in the body
+    server = HTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload",
+            data=json.dumps({"index_path": "x"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "allow-reload" in json.loads(e.read())["error"]
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
