@@ -22,4 +22,4 @@ Subpackages
   densification (the Lucene-free front end).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

@@ -686,6 +686,40 @@ def cmd_serve(args):
           index_loader=index_loader)
 
 
+def cmd_info(args):
+    """Environment/device diagnostics (one JSON object on stdout).
+
+    The first thing to ask for when a deployment misbehaves: what backend
+    JAX actually initialized, how many devices it sees, whether the C++
+    host runtime compiled or the pure-Python fallbacks are active, and
+    where compiled programs are cached.
+    """
+    import os
+    import platform
+
+    import jax
+
+    import dhr_tpu
+    from dhr_tpu import native
+
+    devices = jax.devices()
+    out = {
+        "dhr_tpu": dhr_tpu.__version__,
+        "python": platform.python_version(),
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "device_count": len(devices),
+        "devices": [str(d) for d in devices[:8]]
+        + (["..."] if len(devices) > 8 else []),
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "native_runtime": native.available(),
+        "native_so": native._SO if native.available() else None,
+        "compile_cache": os.environ.get("JAX_COMPILATION_CACHE_DIR"),
+    }
+    print(json.dumps(out, indent=1))
+
+
 def cmd_merge_runs(args):
     from dhr_tpu.retrieval import merge_runs
 
@@ -1254,6 +1288,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "index; needs HBM headroom for both during the "
                         "overlap)")
     p.set_defaults(_subparser=p, fn=cmd_serve)
+
+    p = sub.add_parser("info")
+    p.add_argument("--config", default=None)
+    p.set_defaults(_subparser=p, fn=cmd_info)
 
     p = sub.add_parser("merge-runs")
     p.add_argument("--inputs", required=True)

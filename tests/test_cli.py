@@ -458,3 +458,13 @@ def test_beir_cli_multi_dataset_suite(tmp_path, rng, monkeypatch, capsys):
         assert 0.0 <= d["NDCG@10"] <= 1.0
     assert out["avg_NDCG@10"] is not None
     assert out["avg_R_cap@100"] is not None
+
+
+def test_info_verb_reports_environment(capsys):
+    main(["info"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["backend"] == "cpu"  # conftest forces the CPU platform
+    assert out["device_count"] >= 1
+    assert out["dhr_tpu"] == "0.4.0"
+    assert isinstance(out["native_runtime"], bool)
+    assert out["process_count"] == 1
