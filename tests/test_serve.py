@@ -715,3 +715,52 @@ def test_admin_reload_disabled_is_an_error(rng):
     finally:
         server.shutdown()
         t.join(timeout=5)
+
+
+def test_admin_reload_under_concurrent_load_never_mixes_indexes(rng, tmp_path):
+    """Fire a reload while request threads hammer the coalescing worker:
+    every individual response must rank docids wholly from ONE index
+    (the swap applies between pools, never mid-pool), and requests after
+    the reload returns must all be on the new index."""
+    old = _packed(rng, 32, "old")
+    new = _packed(rng, 32, "new")
+    new_path = str(tmp_path / "new_index.npz")
+    new.save(new_path)
+
+    idx = DeviceIndex.from_packed(old)
+    cfg = SearchConfig(topk=5, mode="gip", theta=0.0, query_batch=8)
+    service = SearchService(
+        Searcher(idx, cfg), micro_batch_ms=2.0,
+        index_loader=lambda p: DeviceIndex.from_packed(PackedIndex.load(p)),
+    )
+    qv = old.values[:1].astype(np.float32)
+    qi = old.indices[:1].astype(np.int32)
+    service._run(["warm"], qv, qi)  # compile before the stress window
+
+    stop = threading.Event()
+    bad, responses = [], []
+
+    def client(tag):
+        k = 0
+        while not stop.is_set():
+            r, _ = service._run([f"{tag}:{k}"], qv, qi)
+            tags = {d[:3] for d in r[f"{tag}:{k}"]}
+            responses.append(tags)
+            if len(tags) != 1:
+                bad.append(tags)
+            k += 1
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    service.reload({"index_path": new_path})
+    # post-reload responses must be on the new index from here on
+    r, _ = service._run(["post"], qv, qi)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not bad, f"responses mixed indexes: {bad[:3]}"
+    assert all(d.startswith("new") for d in r["post"])
+    assert {"new"} in responses or all(
+        tags == {"old"} for tags in responses
+    )  # clients observed a clean cutover (or finished before it)
