@@ -1,6 +1,10 @@
-"""Render a pipeline_rehearsal.py JSON report as docs/pipeline_run.md.
+"""Render pipeline_rehearsal.py JSON report(s) as docs/pipeline_run.md.
 
-Usage: python tools/render_pipeline_run.py .tmp/pipeline_full.json > docs/pipeline_run.md
+Usage:
+  python tools/render_pipeline_run.py .tmp/pipeline_full.json [more.json ...] \
+      > docs/pipeline_run.md
+
+Multiple reports render as one document with a section per corpus scale.
 """
 
 from __future__ import annotations
@@ -16,21 +20,9 @@ def fmt(x):
     return f"{x:.4f}" if isinstance(x, float) else str(x)
 
 
-def main():
-    with open(sys.argv[1]) as f:
-        r = json.load(f)
+def render_one(r, out, depth="##"):
     cfg = r["config"]
-    out = []
-    out.append("# Full-pipeline dress rehearsal on hardware")
-    out.append("")
-    out.append("One scripted run of the whole user-facing loop — "
-               "`train -> encode (--pack) -> index (int8) -> search "
-               "(theta+rerank AND exact GIP) -> eval` — through the CLI "
-               "verbs (tools/pipeline_rehearsal.py; VERDICT r3 item 3). "
-               "The reference's documented pipeline is "
-               "`/root/reference/docs/dhr/msmarco-passage-train-eval.md`.")
-    out.append("")
-    out.append("## Setup")
+    out.append(f"{depth} Setup")
     out.append("")
     out.append(f"- corpus: **{cfg['n_corpus']:,} passages** (synthetic "
                f"topical wordpiece world, {cfg['n_topics']} topics, real "
@@ -45,9 +37,10 @@ def main():
                "per checkpoint so the median query scans ~40 dims), "
                f"rerank@{cfg['agip_topk']}, scan cap 48 dims")
     out.append("")
-    out.append("## Quality: untrained vs trained, staged vs exact")
+    out.append(f"{depth} Quality: untrained vs trained, staged vs exact")
     out.append("")
-    hdr = "| metric | untrained staged | untrained exact | trained staged | trained exact |"
+    hdr = ("| metric | untrained staged | untrained exact | trained staged "
+           "| trained exact |")
     out.append(hdr)
     out.append("|---|---|---|---|---|")
     for m in METRICS:
@@ -73,7 +66,7 @@ def main():
         out.append(f"- {tag}: theta {th}, query dims above theta "
                    f"mean {above.get('mean')} / max {above.get('max')}.")
     out.append("")
-    out.append("## Per-verb wall-clock")
+    out.append(f"{depth} Per-verb wall-clock")
     out.append("")
     out.append("| verb | wall s |")
     out.append("|---|---|")
@@ -84,6 +77,32 @@ def main():
     out.append("Wall-clock includes per-verb process start + jit/remote "
                "compile (fresh shapes each stage); the measured steady-state "
                "device rates for every verb are in docs/design.md.")
+
+
+def main():
+    reports = []
+    for path in sys.argv[1:]:
+        with open(path) as f:
+            reports.append(json.load(f))
+    reports.sort(key=lambda r: r["config"]["n_corpus"])
+    out = []
+    out.append("# Full-pipeline dress rehearsal on hardware")
+    out.append("")
+    out.append("One scripted run of the whole user-facing loop — "
+               "`train -> encode (--pack) -> index (int8) -> search "
+               "(theta+rerank AND exact GIP) -> eval` — through the CLI "
+               "verbs (tools/pipeline_rehearsal.py; VERDICT r3 item 3). "
+               "The reference's documented pipeline is "
+               "`/root/reference/docs/dhr/msmarco-passage-train-eval.md`.")
+    out.append("")
+    if len(reports) == 1:
+        render_one(reports[0], out)
+    else:
+        for r in reports:
+            out.append(f"## At {r['config']['n_corpus']:,} passages")
+            out.append("")
+            render_one(r, out, depth="###")
+            out.append("")
     print("\n".join(out))
 
 
