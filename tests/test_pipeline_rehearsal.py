@@ -60,3 +60,15 @@ def test_theta_auto_targets_40_dims():
     theta = max(float(np.median(kth)), 1e-3)
     above = (qvals > theta).sum(axis=1)
     assert 20 <= np.median(above) <= 60
+
+
+def test_default_topics_keeps_cousins_per_topic_constant():
+    from pipeline_rehearsal import default_topics
+
+    assert default_topics(102_400, quick=False) == 512   # the 100k run
+    assert default_topics(1_024_000, quick=False) == 5120  # the 1M run
+    # ~200 cousins/topic at every non-quick scale >= 12.8k passages
+    for n in (102_400, 1_024_000, 8_841_823):
+        assert abs(n / default_topics(n, False) - 200) <= 1
+    assert default_topics(2048, quick=True) == 32
+    assert default_topics(1000, quick=False) == 64  # floor

@@ -59,6 +59,16 @@ def log(*a):
 # --------------------------------------------------------------- world gen
 
 
+def default_topics(n_corpus: int, quick: bool) -> int:
+    """Topics scale with the corpus so difficulty does not: the task is
+    "rank the source among ~200 same-topic cousins" (make_queries).  A
+    FIXED topic count at 1M passages made each topic ~2000 cousins — a
+    10x harder task that a 400-step toy model cannot rank at MRR@10
+    (measured: the first 1M run improved Recall@1000 2.8x but MRR@10
+    stayed flat)."""
+    return 32 if quick else max(64, n_corpus // 200)
+
+
 def zipf_background(rng, size, skew=3.0):
     """Zipf-ish background token draw over [FIRST_TOKEN, VOCAB)."""
     u = rng.random(size)
@@ -229,13 +239,7 @@ def main():
     args.learning_rate = args.learning_rate or (1e-3 if q else 3e-4)
     args.query_batch = args.query_batch or (32 if q else 128)
     args.encode_batch = args.encode_batch or (32 if q else 64)
-    # Difficulty must not silently scale with corpus size: the task is
-    # "rank the source among ~200 same-topic cousins" (make_queries
-    # docstring).  A FIXED topic count at 1M passages makes each topic
-    # ~2000 cousins — a 10x harder task that a 400-step toy model cannot
-    # rank at MRR@10 (measured: the first 1M run improved Recall@1000
-    # 2.8x but MRR@10 stayed flat).  Scale topics with the corpus.
-    n_topics = args.n_topics or (32 if q else max(64, args.n_corpus // 200))
+    n_topics = args.n_topics or default_topics(args.n_corpus, q)
     pool_size = 16 if q else 48
     hidden, layers, heads, ff = (
         (64, 2, 2, 128) if q else (256, 4, 4, 1024))
