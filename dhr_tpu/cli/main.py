@@ -747,15 +747,17 @@ def cmd_eval(args):
     # where BEIR's published convention is undefined (ZeroDivisionError in
     # the reference); surface the count so cross-paper comparisons are safe
     n_zero = zero_positive_queries(qrels)
+    strict = getattr(args, "strict", False)
     if args.rcap:
-        out = {f"R_cap@{args.k}": recall_cap_at_k(qrels, run, args.k)}
+        out = {f"R_cap@{args.k}": recall_cap_at_k(qrels, run, args.k,
+                                                  strict=strict)}
         if n_zero:
             out["zero_positive_queries"] = n_zero
         print(json.dumps(out))
         return
     out = {
         "MRR@10": mrr_at_k(qrels, run, 10),
-        "Recall@1000": recall_at_k(qrels, run, 1000),
+        "Recall@1000": recall_at_k(qrels, run, 1000, strict=strict),
     }
     out.update(evaluate_run(qrels, run, k_values=(10, 100)))
     if n_zero:
@@ -1306,6 +1308,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run", required=True)
     p.add_argument("--rcap", action="store_true")
     p.add_argument("--k", type=int, default=100)
+    p.add_argument("--strict", action="store_true",
+                   help="fail (like BEIR's published convention / the "
+                        "reference's ZeroDivisionError) when any qrels "
+                        "query has no positive judgment, instead of "
+                        "counting it as recall 0 and reporting "
+                        "zero_positive_queries")
     p.add_argument("--config", default=None)
     p.set_defaults(_subparser=p, fn=cmd_eval)
 

@@ -1,3 +1,4 @@
+import json
 import numpy as np
 import pytest
 
@@ -212,3 +213,17 @@ def test_rerank_metrics_match_reference_utils_metrics(rng):
     assert ndcg_reference(ranked_all[2]) != ndcg_from_ranked(ranked_all[2]) or (
         (ranked_all[2] > 0).sum() == 0
     )
+
+
+def test_eval_verb_strict_flag(tmp_path, capsys):
+    from dhr_tpu.cli.main import main
+
+    qrels = tmp_path / "q.qrels"
+    qrels.write_text("q0 0 d0 1\nq1 0 d9 0\n")  # q1 has no positive
+    run = tmp_path / "r.trec"
+    run.write_text("q0 Q0 d0 1 2.0 t\nq1 Q0 d0 1 1.0 t\n")
+    main(["eval", "--qrels", str(qrels), "--run", str(run)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["zero_positive_queries"] == 1
+    with pytest.raises(ValueError, match="no positive judgment"):
+        main(["eval", "--qrels", str(qrels), "--run", str(run), "--strict"])
