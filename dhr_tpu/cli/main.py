@@ -23,8 +23,9 @@ Replaces the reference's per-stage entry points with a single typed surface
                       (tevatron/datasets/beir)
 - ``beir-preprocess`` BEIR dir -> interchange files (beir/preprocess.py)
 - ``serve``           resident HTTP search service (micro-batching,
-                      low-latency route, text-in /search_text) — no
-                      reference equivalent
+                      low-latency route, text-in /search_text, hot index
+                      reload) — no reference equivalent
+- ``info``            environment/device/native diagnostics (one JSON)
 
 Every subcommand also accepts ``--config file.json`` whose keys are the long
 option names (CLI flags win).
