@@ -37,6 +37,7 @@ import argparse
 import dataclasses
 import json
 import logging
+import os
 
 import numpy as np
 
@@ -1395,6 +1396,16 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+    # DHR_TPU_PLATFORM=cpu pins the verb to a platform BEFORE any backend
+    # initializes.  The JAX_PLATFORMS env var is not enough on hosts whose
+    # sitecustomize resets the jax_platforms config after import (observed
+    # with TPU-relay setups: a "CPU-only" verb silently grabbed the
+    # single-tenant TPU claim); config.update wins over both.
+    plat = os.environ.get("DHR_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     parser = build_parser()
     args = parser.parse_args(argv)
     args = _apply_config_file(args, parser)

@@ -137,14 +137,31 @@ def run_verb(name, argv, env, timings, timeout=None):
     return proc.stdout
 
 
+def family_flags(family: str, ckpt: str) -> list:
+    """Model flags per retriever family (the reference's three evaluated
+    families: DeLADE/DHR staged GIP, Aggretriever exact IP, dense exact
+    IP — README.md:20-22 / BASELINE.md operating points)."""
+    common = ["--model-name-or-path", ckpt, "--add-pooler",
+              "--projection-dim", "128"]
+    if family == "dhr":
+        return ["--model", "dhr", *common, "--dlr-out-dim", "768",
+                "--remove-dims", str(REMOVE)]
+    if family == "dense":
+        return ["--model", "dense", "--pooling", "cls", *common]
+    if family == "agg":
+        return ["--model", "agg", *common, "--agg-dim", "640"]
+    raise ValueError(f"unknown family {family}")
+
+
 def eval_stage(tag, ckpt, work, corpus_path, queries_path, qrels_path, env,
                timings, args):
-    """encode corpus+queries -> index int8 -> search (staged + exact) ->
-    eval; returns the quality dict."""
+    """encode corpus+queries -> index -> search -> eval per family:
+    dhr = int8 index, staged (theta+rerank) AND exact GIP; dense/agg =
+    exact IP (the reference's operating point for those families).
+    Returns the quality dict (always carries an "exact" entry)."""
+    family = args.family
     enc_common = [
-        "--model", "dhr", "--model-name-or-path", ckpt,
-        "--add-pooler", "--projection-dim", "128", "--dlr-out-dim", "768",
-        "--remove-dims", str(REMOVE),
+        *family_flags(family, ckpt),
         "--q-max-len", "16", "--p-max-len", "128",
         "--batch-size", str(args.encode_batch),
     ]
@@ -159,36 +176,43 @@ def eval_stage(tag, ckpt, work, corpus_path, queries_path, qrels_path, env,
         "--output", query_npz, "--encode-is-qry",
     ], env, timings)
     index_path = os.path.join(work, f"{tag}_index.npz")
+    index_extra = (["--quantize", "--lex-dim", "768"]
+                   if family == "dhr" else [])
     run_verb(f"{tag}.index", [
         "index", "--inputs", corpus_npz, "--output", index_path,
-        "--quantize", "--lex-dim", "768",
+        *index_extra,
     ], env, timings)
 
     quality = {}
-    with np.load(query_npz if query_npz.endswith(".npz")
-                 else query_npz + ".npz") as zq:
-        qvals = np.asarray(zq["values"][:, :768], np.float32)
-    if args.theta == "auto":
-        # theta is a per-model tunable (the reference's 0.3 is calibrated
-        # to ITS trained MS MARCO models); for the rehearsal's small
-        # fresh-trained model pick the value that puts the median query at
-        # ~40 scanned dims — the same operating point the bench
-        # distribution targets (synth.py: mean 36 dims above theta).
-        kth = np.sort(qvals, axis=1)[:, -40]
-        theta = max(float(np.median(kth)), 1e-3)
+    if family == "dhr":
+        with np.load(query_npz if query_npz.endswith(".npz")
+                     else query_npz + ".npz") as zq:
+            qvals = np.asarray(zq["values"][:, :768], np.float32)
+        if args.theta == "auto":
+            # theta is a per-model tunable (the reference's 0.3 is
+            # calibrated to ITS trained MS MARCO models); for the
+            # rehearsal's small fresh-trained model pick the value that
+            # puts the median query at ~40 scanned dims — the same
+            # operating point the bench distribution targets (synth.py:
+            # mean 36 dims above theta).
+            kth = np.sort(qvals, axis=1)[:, -40]
+            theta = max(float(np.median(kth)), 1e-3)
+        else:
+            theta = float(args.theta)
+        above = (qvals > theta).sum(axis=1)
+        quality["theta"] = round(theta, 4)
+        quality["query_dims_above_theta"] = {
+            "mean": round(float(above.mean()), 1), "max": int(above.max()),
+        }
+        modes = (
+            ("staged", ["--theta", str(theta), "--rerank",
+                        "--agip-topk", str(args.agip_topk),
+                        "--max-important-dims", "48"]),
+            ("exact", ["--brute-force"]),
+        )
     else:
-        theta = float(args.theta)
-    above = (qvals > theta).sum(axis=1)
-    quality["theta"] = round(theta, 4)
-    quality["query_dims_above_theta"] = {
-        "mean": round(float(above.mean()), 1), "max": int(above.max()),
-    }
-    for mode, extra in (
-        ("staged", ["--theta", str(theta), "--rerank",
-                    "--agip-topk", str(args.agip_topk),
-                    "--max-important-dims", "48"]),
-        ("exact", ["--brute-force"]),
-    ):
+        modes = (("exact", ["--IP"]),)
+    for mode, extra in modes:
         run_path = os.path.join(work, f"{tag}_{mode}.trec")
         run_verb(f"{tag}.search-{mode}", [
             "search", "--index-path", index_path, "--query-path", query_npz,
@@ -227,6 +251,11 @@ def main():
                     "(n_corpus // 200) so every scale keeps the intended "
                     "~200 same-topic cousins per source passage")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--family", choices=("dhr", "dense", "agg"),
+                    default="dhr",
+                    help="retriever family: dhr = staged GIP + exact GIP; "
+                    "dense/agg = exact IP (the reference's operating "
+                    "point for those families)")
     args = ap.parse_args()
     global VERB_TIMEOUT_S
     VERB_TIMEOUT_S = args.verb_timeout
@@ -253,7 +282,13 @@ def main():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if q:
+        # JAX_PLATFORMS alone is NOT enough on hosts whose sitecustomize
+        # resets the jax_platforms config after import (the TPU-relay dev
+        # box): quick-mode verbs silently landed on the remote TPU and
+        # stalled in remote compiles.  DHR_TPU_PLATFORM is honored by the
+        # CLI itself via jax.config.update, which wins.
         env["JAX_PLATFORMS"] = "cpu"
+        env["DHR_TPU_PLATFORM"] = "cpu"
     env.setdefault(
         "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 
@@ -311,7 +346,7 @@ def main():
     timings = [{"verb": "world-gen", "wall_s": round(world_s, 1)}]
     report = {
         "config": {
-            "quick": q, "n_corpus": args.n_corpus,
+            "quick": q, "family": args.family, "n_corpus": args.n_corpus,
             "n_train": args.n_train, "n_dev": args.n_dev,
             "n_topics": n_topics,
             "model": f"hidden {hidden} x {layers} layers (random init)",
@@ -331,9 +366,7 @@ def main():
     train_dir = os.path.join(work, "run")
     metrics_path = os.path.join(work, "train_metrics.jsonl")
     run_verb("train", [
-        "train", "--model", "dhr", "--model-name-or-path", init_ckpt,
-        "--add-pooler", "--projection-dim", "128", "--dlr-out-dim", "768",
-        "--remove-dims", str(REMOVE),
+        "train", *family_flags(args.family, init_ckpt),
         "--q-max-len", "16", "--p-max-len", "128",
         "--train-path", train_path, "--corpus-path", corpus_path,
         "--output-dir", train_dir,

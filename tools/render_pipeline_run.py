@@ -22,6 +22,8 @@ def fmt(x):
 
 def render_one(r, out, depth="##"):
     cfg = r["config"]
+    family = cfg.get("family", "dhr")
+    staged = "staged" in r["untrained"]
     out.append(f"{depth} Setup")
     out.append("")
     out.append(f"- corpus: **{cfg['n_corpus']:,} passages** (synthetic "
@@ -32,21 +34,26 @@ def render_one(r, out, depth="##"):
                f"{cfg['max_steps']} packed steps, lr {cfg['lr']}")
     out.append(f"- dev: {cfg['n_dev']} held-out queries, qrel = source "
                "passage")
-    out.append(f"- model: {cfg['model']}")
-    out.append(f"- staged search: theta={cfg['theta']} (auto-calibrated "
-               "per checkpoint so the median query scans ~40 dims), "
-               f"rerank@{cfg['agip_topk']}, scan cap 48 dims")
+    out.append(f"- model: {cfg['model']}, family **{family}**")
+    if staged:
+        out.append(f"- staged search: theta={cfg['theta']} (auto-calibrated "
+                   "per checkpoint so the median query scans ~40 dims), "
+                   f"rerank@{cfg['agip_topk']}, scan cap 48 dims")
+    else:
+        out.append("- search: exact IP (the reference's operating point "
+                   "for this family)")
     out.append("")
     out.append(f"{depth} Quality: untrained vs trained, staged vs exact")
     out.append("")
-    hdr = ("| metric | untrained staged | untrained exact | trained staged "
-           "| trained exact |")
-    out.append(hdr)
-    out.append("|---|---|---|---|---|")
+    modes = ("staged", "exact") if staged else ("exact",)
+    cols = " | ".join(f"{t} {m}" for t in ("untrained", "trained")
+                      for m in modes)
+    out.append(f"| metric | {cols} |")
+    out.append("|---|" + "---|" * 2 * len(modes))
     for m in METRICS:
         row = [m]
         for tag in ("untrained", "trained"):
-            for mode in ("staged", "exact"):
+            for mode in modes:
                 row.append(fmt(r[tag][mode].get(m, "-")))
         out.append("| " + " | ".join(row) + " |")
     out.append("")
@@ -61,6 +68,8 @@ def render_one(r, out, depth="##"):
                f"{r['train_loss_last']:.3f} over {cfg['max_steps']} steps.")
     for tag in ("untrained", "trained"):
         q = r[tag]
+        if "theta" not in q:
+            continue
         th = q.get("theta")
         above = q.get("query_dims_above_theta", {})
         out.append(f"- {tag}: theta {th}, query dims above theta "
@@ -99,7 +108,9 @@ def main():
         render_one(reports[0], out)
     else:
         for r in reports:
-            out.append(f"## At {r['config']['n_corpus']:,} passages")
+            fam = r["config"].get("family", "dhr")
+            suffix = "" if fam == "dhr" else f" — {fam} family (exact IP)"
+            out.append(f"## At {r['config']['n_corpus']:,} passages{suffix}")
             out.append("")
             render_one(r, out, depth="###")
             out.append("")
