@@ -111,8 +111,31 @@ class MicroBatcher:
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._carry = None  # request pulled but too big for the last pool
         self._swap = None   # pending (searcher, small) set by swap()
+        self._pause_req = False
+        self._parked = threading.Event()
+        self._resume = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def pause(self):
+        """Park the worker between pools and drop its searcher references
+        (the free-first reload path: a full-chip index has no HBM headroom
+        for load-then-swap).  Blocks until the worker has parked; while
+        parked, requests queue (and shed via ``max_pending``).  Call
+        :meth:`resume` with the new searchers to restart."""
+        self._pause_req = True
+        try:
+            self._q.put_nowait(_SWAP_WAKE)
+        except queue.Full:
+            pass
+        self._parked.wait()
+        self.searcher = None
+        self.small = None
+
+    def resume(self, searcher, small_searcher=None):
+        self.searcher = searcher
+        self.small = small_searcher
+        self._resume.set()
 
     def swap(self, searcher, small_searcher=None):
         """Atomically hand the worker a new searcher pair (index reload).
@@ -149,6 +172,13 @@ class MicroBatcher:
 
     def _loop(self):
         while True:
+            if self._pause_req:
+                self._pause_req = False
+                self._parked.set()
+                self._resume.wait()
+                self._resume.clear()
+                self._parked.clear()
+                continue
             if self._swap is not None:
                 self.searcher, self.small = self._swap
                 self._swap = None
@@ -308,41 +338,59 @@ class SearchService:
         from dhr_tpu.retrieval import Searcher
 
         path = payload["index_path"]
+        free_first = bool(payload.get("free_first"))
         with self._reload_lock:  # one reload at a time; uploads are big
-            index = self.index_loader(path)
-            new = Searcher(index, dataclasses.replace(self.searcher.config))
-            new_small = None
+            cfg = dataclasses.replace(self.searcher.config)
+            small_cfg = None
             if self.batcher is not None and self.batcher.small is not None:
-                new_small = Searcher(
-                    index,
-                    dataclasses.replace(self.batcher.small.config),
-                )
+                small_cfg = dataclasses.replace(self.batcher.small.config)
+            if free_first:
+                # full-chip indexes have no HBM headroom for load-then-
+                # swap: park the worker between pools, drop every searcher
+                # reference so the old device buffers free NOW, then load.
+                # Requests queue during the gap (shedding via max_pending).
+                import gc
+
+                if self.batcher is not None:
+                    self.batcher.pause()
+                self.searcher = None
+                gc.collect()
+            index = self.index_loader(path)
+            new = Searcher(index, cfg)
+            new_small = Searcher(index, small_cfg) if small_cfg else None
             if self.batcher is not None:
-                self.batcher.swap(new, new_small)
+                if free_first:
+                    self.batcher.resume(new, new_small)
+                else:
+                    self.batcher.swap(new, new_small)
             self.searcher = new
             self.reloads += 1
-            logger.info("reloaded index from %s (%d rows)", path,
-                        index.num_rows)
+            logger.info("reloaded index from %s (%d rows, free_first=%s)",
+                        path, index.num_rows, free_first)
             return {"status": "ok", "rows": int(index.num_rows),
-                    "index_path": path, "reloads": self.reloads}
+                    "index_path": path, "reloads": self.reloads,
+                    "free_first": free_first}
 
     def stats(self) -> dict:
-        idx = self.searcher.index
+        searcher = self.searcher
+        if searcher is None:  # mid free-first reload (threaded server)
+            return {"reloading": True, "reloads": self.reloads}
+        idx = searcher.index
         out = {
             "rows": int(idx.num_rows),
             "dim": int(idx.dim),
             "lex_dim": int(idx.lex_dim),
             "sharded_over": 1 if idx.mesh is None else int(idx.mesh.size),
-            "mode": self.searcher.config.mode,
-            "theta": self.searcher.config.theta,
-            "topk": self.searcher.config.topk,
+            "mode": searcher.config.mode,
+            "theta": searcher.config.theta,
+            "topk": searcher.config.topk,
         }
-        if getattr(self.searcher.config, "escalate_pool", 0):
-            out["escalate_pool"] = self.searcher.config.escalate_pool
+        if getattr(searcher.config, "escalate_pool", 0):
+            out["escalate_pool"] = searcher.config.escalate_pool
             # sum the low-latency route's counter too: single-query traffic
             # is served entirely by the small searcher, whose escalations
             # would otherwise be invisible to operators tuning the margin
-            out["escalated_queries"] = self.searcher.escalated_queries + (
+            out["escalated_queries"] = searcher.escalated_queries + (
                 self.batcher.small.escalated_queries
                 if self.batcher is not None and self.batcher.small is not None
                 else 0
@@ -380,8 +428,12 @@ def make_handler(service: SearchService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"status": "ok",
-                                  "rows": service.stats()["rows"]})
+                stats = service.stats()
+                if stats.get("reloading"):
+                    self._reply(200, {"status": "reloading"})
+                else:
+                    self._reply(200, {"status": "ok",
+                                      "rows": stats["rows"]})
             elif self.path == "/stats":
                 self._reply(200, service.stats())
             else:

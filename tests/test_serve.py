@@ -648,7 +648,7 @@ def test_admin_reload_swaps_index_without_restart(rng, tmp_path):
 
     out = service.reload({"index_path": new_path})
     assert out == {"status": "ok", "rows": 48, "index_path": new_path,
-                   "reloads": 1}
+                   "reloads": 1, "free_first": False}
     assert service.stats()["rows"] == 48
     assert service.stats()["reloads"] == 1
     r, _ = service._run(["q0"], new.values[:1].astype(np.float32),
@@ -754,13 +754,70 @@ def test_admin_reload_under_concurrent_load_never_mixes_indexes(rng, tmp_path):
     for t in threads:
         t.start()
     service.reload({"index_path": new_path})
-    # post-reload responses must be on the new index from here on
-    r, _ = service._run(["post"], qv, qi)
     stop.set()
     for t in threads:
         t.join(timeout=30)
     assert not bad, f"responses mixed indexes: {bad[:3]}"
+    # after the in-flight pools drain, the cutover must be complete: a
+    # fresh request runs wholly on the new index (the swap guarantee is
+    # between-pools — a request racing INTO an old pool may still be
+    # served old, which is why the drain comes first)
+    r, _ = service._run(["post"], qv, qi)
     assert all(d.startswith("new") for d in r["post"])
     assert {"new"} in responses or all(
         tags == {"old"} for tags in responses
     )  # clients observed a clean cutover (or finished before it)
+
+
+def test_admin_reload_free_first_frees_before_loading(rng, tmp_path):
+    """free_first: the worker parks between pools and every old-searcher
+    reference drops BEFORE the new index loads (full-chip indexes have no
+    HBM headroom for load-then-swap).  Requests arriving during the gap
+    queue and are served on the new index; the loader must observe the
+    old index already released."""
+    import gc
+    import weakref
+
+    old = _packed(rng, 32, "old")
+    new = _packed(rng, 32, "new")
+    new_path = str(tmp_path / "new_index.npz")
+    new.save(new_path)
+
+    idx = DeviceIndex.from_packed(old)
+    cfg = SearchConfig(topk=5, mode="gip", theta=0.0, query_batch=8)
+    old_ref = weakref.ref(idx)
+    released_during_load = []
+
+    def loader(p):
+        gc.collect()
+        released_during_load.append(old_ref() is None)
+        return DeviceIndex.from_packed(PackedIndex.load(p))
+
+    service = SearchService(Searcher(idx, cfg), micro_batch_ms=2.0,
+                            index_loader=loader)
+    del idx
+    qv = old.values[:1].astype(np.float32)
+    qi = old.indices[:1].astype(np.int32)
+    r, _ = service._run(["q0"], qv, qi)
+    assert r["q0"][0] == "old0"
+
+    # a request fired DURING the reload must queue and land on the new index
+    during: dict = {}
+
+    def late_client():
+        rr, _ = service._run(["late"], new.values[:1].astype(np.float32),
+                             new.indices[:1].astype(np.int32))
+        during["top1"] = rr["late"][0]
+
+    t = threading.Thread(target=late_client)
+    out = service.reload({"index_path": new_path, "free_first": True})
+    t.start()
+    t.join(timeout=60)
+    assert out["free_first"] is True and out["rows"] == 32
+    assert released_during_load == [True], (
+        "old index must be freed before the new one loads"
+    )
+    assert during["top1"] == "new0"
+    r, _ = service._run(["q1"], new.values[1:2].astype(np.float32),
+                        new.indices[1:2].astype(np.int32))
+    assert r["q1"][0] == "new1"
