@@ -615,7 +615,6 @@ def _resolve_layout(args) -> str:
 def cmd_serve(args):
     from dhr_tpu.parallel import make_mesh
     from dhr_tpu.retrieval import DeviceIndex, PackedIndex, SearchConfig, Searcher
-    from dhr_tpu.serve import serve
 
     import jax
 
@@ -682,10 +681,19 @@ def cmd_serve(args):
                 PackedIndex.load(path), mesh=mesh,
                 layout=_resolve_layout(args))
 
-    serve(searcher, host=args.host, port=args.port,
-          micro_batch_ms=args.micro_batch_ms, small_searcher=small,
-          query_encoder=query_encoder, max_pending=args.max_pending,
-          index_loader=index_loader)
+    from dhr_tpu.serve import SearchService, serve_service
+
+    service = SearchService(
+        searcher, micro_batch_ms=args.micro_batch_ms,
+        small_searcher=small, query_encoder=query_encoder,
+        max_pending=args.max_pending, index_loader=index_loader,
+        reload_token=args.reload_token)
+    # this frame lives for the whole serve_forever loop: drop its searcher
+    # and host-plane refs so a free_first reload can actually free them
+    threaded = args.micro_batch_ms > 0
+    del searcher, small, packed
+    serve_service(service, host=args.host, port=args.port,
+                  threaded=threaded)
 
 
 def cmd_info(args):
@@ -1285,6 +1293,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "small-batch search program over the same index; "
                         "pools that fit it skip the full padded batch "
                         "(lone queries get low latency)")
+    p.add_argument("--reload-token", default=None,
+                   help="require this value in the X-Reload-Token header "
+                        "on /admin/reload; ALWAYS set it when binding a "
+                        "non-loopback --host")
     p.add_argument("--allow-reload", action="store_true",
                    help="enable POST /admin/reload {\"index_path\": ...}: "
                         "load a new index and swap it in without "

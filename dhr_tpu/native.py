@@ -21,9 +21,15 @@ _SRC = os.path.join(_PKG, "native_src", "dhr_native.cpp")
 
 
 def _so_path() -> str:
-    dev_dir = os.path.join(os.path.dirname(_PKG), "build")
-    if os.access(os.path.dirname(_PKG), os.W_OK):
-        return os.path.join(dev_dir, "libdhr_native.so")
+    # build/ next to the package ONLY in a source checkout (pyproject.toml
+    # beside the package marks one) — writability alone is the wrong test:
+    # a venv's site-packages is writable, and building there would drop a
+    # stray top-level build/ dir into site-packages (colliding with the
+    # PyPI 'build' package) that pip uninstall never removes
+    parent = os.path.dirname(_PKG)
+    if (os.path.isfile(os.path.join(parent, "pyproject.toml"))
+            and os.access(parent, os.W_OK)):
+        return os.path.join(parent, "build", "libdhr_native.so")
     return os.path.join(
         os.path.expanduser("~"), ".cache", "dhr_tpu", "libdhr_native.so")
 

@@ -111,9 +111,12 @@ class MicroBatcher:
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._carry = None  # request pulled but too big for the last pool
         self._swap = None   # pending (searcher, small) set by swap()
-        self._pause_req = False
-        self._parked = threading.Event()
-        self._resume = threading.Event()
+        # pause/resume is an explicit state machine under one condition
+        # variable — paired Events race on back-to-back pause cycles (a
+        # stale parked-flag lets the next pause() return before the worker
+        # parks, and clearing the resume-flag can eat the next signal)
+        self._state_cv = threading.Condition()
+        self._state = "running"  # running | pause_requested | parked
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -123,19 +126,32 @@ class MicroBatcher:
         for load-then-swap).  Blocks until the worker has parked; while
         parked, requests queue (and shed via ``max_pending``).  Call
         :meth:`resume` with the new searchers to restart."""
-        self._pause_req = True
+        with self._state_cv:
+            self._state = "pause_requested"
         try:
             self._q.put_nowait(_SWAP_WAKE)
         except queue.Full:
             pass
-        self._parked.wait()
+        with self._state_cv:
+            while self._state != "parked":
+                self._state_cv.wait()
+        # a not-yet-applied load-then-swap pair is superseded by this
+        # reload — drop it so its searchers (and index buffers) free too
+        self._swap = None
         self.searcher = None
         self.small = None
 
     def resume(self, searcher, small_searcher=None):
+        """Restart the parked worker on new searchers.  ``searcher=None``
+        restarts it in drain mode: queued and future requests fail fast
+        with "no index loaded" instead of hanging (the recovery state
+        after a failed free-first load — a later reload can still fix
+        the service)."""
         self.searcher = searcher
         self.small = small_searcher
-        self._resume.set()
+        with self._state_cv:
+            self._state = "running"
+            self._state_cv.notify_all()
 
     def swap(self, searcher, small_searcher=None):
         """Atomically hand the worker a new searcher pair (index reload).
@@ -172,16 +188,32 @@ class MicroBatcher:
 
     def _loop(self):
         while True:
-            if self._pause_req:
-                self._pause_req = False
-                self._parked.set()
-                self._resume.wait()
-                self._resume.clear()
-                self._parked.clear()
-                continue
+            with self._state_cv:
+                if self._state == "pause_requested":
+                    self._state = "parked"
+                    self._state_cv.notify_all()
+                    while self._state == "parked":
+                        self._state_cv.wait()
+                    continue
             if self._swap is not None:
                 self.searcher, self.small = self._swap
                 self._swap = None
+            if self.searcher is None:
+                # drain mode (failed free-first reload): requests must
+                # fail fast, never hang — and a later reload can recover
+                if self._carry is not None:
+                    item, self._carry = self._carry, None
+                else:
+                    item = self._q.get()
+                    if item is _SWAP_WAKE:
+                        continue
+                _, _, _, done, slot = item
+                slot["error"] = ValueError(
+                    "no index loaded (a free_first reload failed); "
+                    "POST /admin/reload again"
+                )
+                done.set()
+                continue
             cap = self.searcher.config.query_batch
             if self._carry is not None:
                 batch, self._carry = [self._carry], None
@@ -277,12 +309,18 @@ class SearchService:
 
     def __init__(self, searcher, micro_batch_ms: float = 0.0,
                  small_searcher=None, query_encoder=None,
-                 max_pending: int = 0, index_loader=None):
+                 max_pending: int = 0, index_loader=None,
+                 reload_token=None):
         self.searcher = searcher
         self.query_encoder = query_encoder
         self.index_loader = index_loader
+        self.reload_token = reload_token
         self.reloads = 0
         self._reload_lock = threading.Lock()
+        # config snapshots survive a failed free-first reload (searcher is
+        # None then, but the corrective reload still needs the configs)
+        self._last_cfg = None
+        self._last_small_cfg = None
         self.batcher = (
             MicroBatcher(searcher, micro_batch_ms,
                          small_searcher=small_searcher,
@@ -294,6 +332,9 @@ class SearchService:
         if self.batcher is not None:
             return self.batcher.search(qids, values, indices)
         qids, values, indices = _validate_queries(qids, values, indices)
+        if self.searcher is None:
+            raise ValueError("no index loaded (a free_first reload "
+                             "failed); POST /admin/reload again")
         return self.searcher.search_run(qids, values, indices)
 
     def search(self, payload: dict) -> dict:
@@ -340,10 +381,14 @@ class SearchService:
         path = payload["index_path"]
         free_first = bool(payload.get("free_first"))
         with self._reload_lock:  # one reload at a time; uploads are big
-            cfg = dataclasses.replace(self.searcher.config)
-            small_cfg = None
+            if self.searcher is not None:
+                self._last_cfg = dataclasses.replace(self.searcher.config)
             if self.batcher is not None and self.batcher.small is not None:
-                small_cfg = dataclasses.replace(self.batcher.small.config)
+                self._last_small_cfg = dataclasses.replace(
+                    self.batcher.small.config)
+            cfg, small_cfg = self._last_cfg, self._last_small_cfg
+            if cfg is None:
+                raise ValueError("service has no search config to reuse")
             if free_first:
                 # full-chip indexes have no HBM headroom for load-then-
                 # swap: park the worker between pools, drop every searcher
@@ -355,9 +400,20 @@ class SearchService:
                     self.batcher.pause()
                 self.searcher = None
                 gc.collect()
-            index = self.index_loader(path)
-            new = Searcher(index, cfg)
-            new_small = Searcher(index, small_cfg) if small_cfg else None
+            try:
+                index = self.index_loader(path)
+                new = Searcher(index, cfg)
+                new_small = (Searcher(index, small_cfg)
+                             if small_cfg else None)
+            except BaseException:
+                if free_first:
+                    # the old index is already gone — restart the worker
+                    # in drain mode so queued/future requests fail fast
+                    # instead of hanging; a later reload can still recover
+                    if self.batcher is not None:
+                        self.batcher.resume(None, None)
+                    self.searcher = None
+                raise
             if self.batcher is not None:
                 if free_first:
                     self.batcher.resume(new, new_small)
@@ -446,6 +502,12 @@ def make_handler(service: SearchService):
             if fn is None:
                 self._reply(404, {"error": "unknown path"})
                 return
+            if self.path == "/admin/reload" and service.reload_token:
+                if self.headers.get("X-Reload-Token") != \
+                        service.reload_token:
+                    self._reply(403, {"error": "bad or missing "
+                                      "X-Reload-Token"})
+                    return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length))
@@ -461,7 +523,8 @@ def make_handler(service: SearchService):
 
 def serve(searcher, host: str = "127.0.0.1", port: int = 8080,
           micro_batch_ms: float = 0.0, small_searcher=None,
-          query_encoder=None, max_pending: int = 0, index_loader=None):
+          query_encoder=None, max_pending: int = 0, index_loader=None,
+          reload_token=None):
     """Blocking serve loop.
 
     ``micro_batch_ms > 0`` switches to the threaded server + device-worker
@@ -470,15 +533,33 @@ def serve(searcher, host: str = "127.0.0.1", port: int = 8080,
     low-latency small-batch route for pools that fit it.  ``query_encoder``
     enables ``/search_text``.  ``max_pending`` bounds the ingress queue
     (excess requests get HTTP 503 + ``Retry-After``).  ``index_loader``
-    enables ``POST /admin/reload`` (zero-restart index refresh).
+    enables ``POST /admin/reload`` (zero-restart index refresh);
+    ``reload_token`` requires a matching ``X-Reload-Token`` header on that
+    route — always set it on non-loopback binds.
     """
     service = SearchService(searcher, micro_batch_ms=micro_batch_ms,
                             small_searcher=small_searcher,
                             query_encoder=query_encoder,
                             max_pending=max_pending,
-                            index_loader=index_loader)
-    server_cls = ThreadingHTTPServer if micro_batch_ms > 0 else HTTPServer
+                            index_loader=index_loader,
+                            reload_token=reload_token)
+    # drop this frame's searcher refs: serve_forever() never returns, so
+    # anything pinned here could never be freed by a free-first reload
+    del searcher, small_searcher
+    serve_service(service, host=host, port=port,
+                  threaded=micro_batch_ms > 0)
+
+
+def serve_service(service: SearchService, host: str = "127.0.0.1",
+                  port: int = 8080, threaded: bool = False):
+    """Blocking serve loop over an already-built :class:`SearchService`.
+
+    The caller should drop its own searcher/index references after
+    constructing the service (the service owns them and a ``free_first``
+    reload frees them) — callers' stack frames outlive ``serve_forever``.
+    """
+    server_cls = ThreadingHTTPServer if threaded else HTTPServer
     server = server_cls((host, port), make_handler(service))
-    logger.info("serving %d rows on %s:%d (micro_batch_ms=%s)",
-                searcher.index.num_rows, host, port, micro_batch_ms)
+    logger.info("serving %d rows on %s:%d (threaded=%s)",
+                service.stats().get("rows", 0), host, port, threaded)
     server.serve_forever()

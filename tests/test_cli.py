@@ -465,6 +465,8 @@ def test_info_verb_reports_environment(capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["backend"] == "cpu"  # conftest forces the CPU platform
     assert out["device_count"] >= 1
-    assert out["dhr_tpu"] == "0.4.0"
+    import dhr_tpu
+
+    assert out["dhr_tpu"] == dhr_tpu.__version__  # single source of truth
     assert isinstance(out["native_runtime"], bool)
     assert out["process_count"] == 1

@@ -142,18 +142,27 @@ def test_plan_packing_native_matches_python(rng, monkeypatch):
             assert [int(i) for i in rg] == list(rw)
 
 
-def test_so_path_prefers_dev_build_dir_else_user_cache(monkeypatch):
-    """Installed read-only layouts must cache the .so under ~/.cache
-    (pip site-packages are often not writable); dev checkouts keep
-    using build/ next to the package."""
+def test_so_path_prefers_checkout_build_dir_else_user_cache(monkeypatch):
+    """Only a source CHECKOUT (pyproject.toml beside the package) builds
+    into build/; any installed layout — including a writable venv
+    site-packages — caches under ~/.cache (a build/ dir dropped into
+    site-packages would collide with the PyPI 'build' package and
+    outlive pip uninstall)."""
     import os
 
     pkg_parent = os.path.dirname(native._PKG)
-    monkeypatch.setattr(os, "access", lambda p, m: True)
+    # this repo IS a checkout: pyproject.toml sits beside the package
     assert native._so_path() == os.path.join(
         pkg_parent, "build", "libdhr_native.so")
-    monkeypatch.setattr(os, "access", lambda p, m: False)
+    # installed layout (no pyproject.toml next to the package): cache dir
+    # even though the parent is writable
+    monkeypatch.setattr(os.path, "isfile", lambda p: False)
     cached = native._so_path()
     assert cached.endswith(os.path.join(
         ".cache", "dhr_tpu", "libdhr_native.so"))
     assert not cached.startswith(pkg_parent)
+    # read-only checkout: cache dir too
+    monkeypatch.undo()
+    monkeypatch.setattr(os, "access", lambda p, m: False)
+    assert native._so_path().endswith(
+        os.path.join(".cache", "dhr_tpu", "libdhr_native.so"))

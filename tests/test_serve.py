@@ -3,6 +3,7 @@
 import json
 import os
 import threading
+import time
 import urllib.request
 from http.server import HTTPServer
 
@@ -801,17 +802,33 @@ def test_admin_reload_free_first_frees_before_loading(rng, tmp_path):
     r, _ = service._run(["q0"], qv, qi)
     assert r["q0"][0] == "old0"
 
-    # a request fired DURING the reload must queue and land on the new index
+    # a request fired DURING the parked window must queue and land on the
+    # new index: the loader blocks until the client has enqueued, so the
+    # request genuinely arrives while the worker is parked
     during: dict = {}
+    in_loader = threading.Event()
+    client_fired = threading.Event()
+
+    def gated_loader(p):
+        gc.collect()
+        released_during_load.append(old_ref() is None)
+        in_loader.set()
+        assert client_fired.wait(timeout=30)
+        time.sleep(0.2)  # let the client's put_nowait land in the queue
+        return DeviceIndex.from_packed(PackedIndex.load(p))
+
+    service.index_loader = gated_loader
 
     def late_client():
+        assert in_loader.wait(timeout=30)
+        client_fired.set()
         rr, _ = service._run(["late"], new.values[:1].astype(np.float32),
                              new.indices[:1].astype(np.int32))
         during["top1"] = rr["late"][0]
 
     t = threading.Thread(target=late_client)
-    out = service.reload({"index_path": new_path, "free_first": True})
     t.start()
+    out = service.reload({"index_path": new_path, "free_first": True})
     t.join(timeout=60)
     assert out["free_first"] is True and out["rows"] == 32
     assert released_during_load == [True], (
@@ -821,3 +838,82 @@ def test_admin_reload_free_first_frees_before_loading(rng, tmp_path):
     r, _ = service._run(["q1"], new.values[1:2].astype(np.float32),
                         new.indices[1:2].astype(np.int32))
     assert r["q1"][0] == "new1"
+
+
+
+def test_admin_reload_free_first_failure_drains_and_recovers(rng, tmp_path):
+    """A failing free-first load must NOT brick the service: queued and
+    later requests fail fast with a clear error (never hang), and a
+    corrective reload restores service even though the old index (and
+    its config source) are long gone."""
+    old = _packed(rng, 32, "old")
+    new = _packed(rng, 32, "new")
+    new_path = str(tmp_path / "new_index.npz")
+    new.save(new_path)
+
+    idx = DeviceIndex.from_packed(old)
+    cfg = SearchConfig(topk=5, mode="gip", theta=0.0, query_batch=8)
+    service = SearchService(
+        Searcher(idx, cfg), micro_batch_ms=2.0,
+        index_loader=lambda p: DeviceIndex.from_packed(PackedIndex.load(p)),
+    )
+    qv = old.values[:1].astype(np.float32)
+    qi = old.indices[:1].astype(np.int32)
+    service._run(["warm"], qv, qi)
+
+    with pytest.raises(FileNotFoundError):
+        service.reload({"index_path": str(tmp_path / "missing.npz"),
+                        "free_first": True})
+    # drain mode: requests error fast instead of hanging
+    with pytest.raises(ValueError, match="no index loaded"):
+        service._run(["q"], qv, qi)
+    assert service.stats() == {"reloading": True, "reloads": 0}
+    # corrective reload works without any live searcher to copy configs
+    out = service.reload({"index_path": new_path, "free_first": True})
+    assert out["rows"] == 32
+    r, _ = service._run(["q0"], new.values[:1].astype(np.float32),
+                        new.indices[:1].astype(np.int32))
+    assert r["q0"][0] == "new0"
+    assert service.batcher.small is None  # no small route configured
+
+
+def test_admin_reload_token_required(rng, tmp_path):
+    """With reload_token set, /admin/reload rejects missing/wrong tokens
+    with 403 and accepts the right header."""
+    old = _packed(rng, 16, "old")
+    new = _packed(rng, 16, "new")
+    new_path = str(tmp_path / "new_index.npz")
+    new.save(new_path)
+    service = SearchService(
+        Searcher(DeviceIndex.from_packed(old),
+                 SearchConfig(topk=5, mode="gip", theta=0.0, query_batch=4)),
+        index_loader=lambda p: DeviceIndex.from_packed(PackedIndex.load(p)),
+        reload_token="s3cret",
+    )
+    server = HTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"index_path": new_path}).encode()
+        for headers, want in (
+            ({}, 403),
+            ({"X-Reload-Token": "wrong"}, 403),
+        ):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/admin/reload", data=body,
+                headers={"Content-Type": "application/json", **headers})
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                raise AssertionError(f"expected HTTP {want}")
+            except urllib.error.HTTPError as e:
+                assert e.code == want
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload", data=body,
+            headers={"Content-Type": "application/json",
+                     "X-Reload-Token": "s3cret"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read())["rows"] == 16
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
