@@ -810,8 +810,12 @@ def cmd_colbert_score(args):
     (ColBERT/modeling.py:340-442) scores only in-process as a TCT teacher.
     Reads 'encode --model colbert' outputs plus a (qid, pid[, ...]) TSV of
     candidate pairs; writes 'qid<TAB>pid<TAB>score' rows (teacher scores for
-    KD binning, or a rerank run via --trec)."""
-    from dhr_tpu.retrieval.colbert import score_pairs
+    KD binning, or a rerank run via --trec).  With --full-ranking it is
+    instead an exact end-to-end MaxSim retriever (every query vs the whole
+    passage plane, streamed on device) writing a TREC run — a capability
+    the reference lacks (its ColBERT scores candidate pairs only,
+    ColBERT/modeling.py:340-442)."""
+    from dhr_tpu.retrieval.colbert import full_ranking, score_pairs
 
     def load_reps(path):
         with np.load(path if path.endswith(".npz") else path + ".npz") as z:
@@ -822,6 +826,23 @@ def cmd_colbert_score(args):
 
     q_reps, qids = load_reps(args.query_reps)
     p_reps, pids = load_reps(args.passage_reps)
+    if args.full_ranking:
+        from dhr_tpu.retrieval.trec import write_run
+
+        scores, rows = full_ranking(
+            q_reps, p_reps, topk=args.topk, q_batch=args.query_batch,
+            p_chunk=args.passage_chunk,
+        )
+        results = {str(q): [str(pids[int(r)]) for r in rr]
+                   for q, rr in zip(qids, rows)}
+        score_map = {str(q): [float(s) for s in ss]
+                     for q, ss in zip(qids, scores)}
+        write_run(args.output, results, score_map, run_name=args.run_name)
+        logger.info("full-ranked %d queries over %d passages -> %s",
+                    len(qids), len(pids), args.output)
+        return
+    if not args.pairs:
+        raise SystemExit("colbert-score needs --pairs or --full-ranking")
     pairs = []
     with open(args.pairs) as f:
         for line in f:
@@ -1351,8 +1372,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npz from 'encode --model colbert --encode-is-qry'")
     p.add_argument("--passage-reps", required=True,
                    help="npz from 'encode --model colbert'")
-    p.add_argument("--pairs", required=True,
-                   help="TSV of qid<TAB>pid candidate pairs")
+    p.add_argument("--pairs", default=None,
+                   help="TSV of qid<TAB>pid candidate pairs "
+                   "(omit with --full-ranking)")
+    p.add_argument("--full-ranking", action="store_true",
+                   help="exact MaxSim retrieval of every query against the "
+                   "FULL passage plane (streamed top-k; writes a TREC run); "
+                   "beyond the reference, whose ColBERT path scores "
+                   "candidate pairs only")
+    p.add_argument("--topk", type=int, default=1000,
+                   help="results per query with --full-ranking")
+    p.add_argument("--query-batch", type=int, default=16,
+                   help="queries per device program with --full-ranking")
+    p.add_argument("--passage-chunk", type=int, default=512,
+                   help="passages per streamed scan slab with --full-ranking")
     p.add_argument("--output", required=True)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--trec", action="store_true",

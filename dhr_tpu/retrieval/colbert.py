@@ -74,3 +74,85 @@ def score_pairs(
         )
         out[sl] = np.asarray(scores)[:n]
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "p_chunk"))
+def _maxsim_topk_device(
+    q_reps: jax.Array, p_reps: jax.Array, valid: jax.Array,
+    topk: int, p_chunk: int,
+) -> tuple[jax.Array, jax.Array]:
+    """One query batch vs the FULL passage plane, streamed in chunks.
+
+    ``lax.scan`` over ``p_chunk``-passage slabs keeps exactly one
+    ``(B, p_chunk, Lq, Lp)`` similarity block live at a time (the whole
+    ``(B, N)`` score plane never materializes), maintaining a running
+    exact top-``topk`` per query via concatenate + ``lax.top_k`` — the
+    same streaming-reduce shape as the GIP searcher's candidate merge.
+    Pad passages carry ``valid=False`` and score ``-inf``.
+    """
+    b = q_reps.shape[0]
+    n_chunks = p_reps.shape[0] // p_chunk
+    p = p_reps.reshape(n_chunks, p_chunk, *p_reps.shape[1:])
+    v = valid.reshape(n_chunks, p_chunk)
+    init = (
+        jnp.full((b, topk), -jnp.inf, jnp.float32),
+        jnp.zeros((b, topk), jnp.int32),
+    )
+
+    def body(carry, xs):
+        best_s, best_i = carry
+        pc, vc, c = xs
+        s = maxsim_listwise(q_reps, pc)  # (B, p_chunk)
+        s = jnp.where(vc[None, :], s, -jnp.inf)
+        ids = c * p_chunk + jnp.arange(p_chunk, dtype=jnp.int32)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids[None, :], (b, p_chunk))], axis=1)
+        ns, pos = jax.lax.top_k(cat_s, topk)
+        return (ns, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    (scores, rows), _ = jax.lax.scan(
+        body, init, (p, v, jnp.arange(n_chunks, dtype=jnp.int32)))
+    return scores, rows
+
+
+def full_ranking(
+    q_reps: np.ndarray,
+    p_reps: np.ndarray,
+    topk: int = 1000,
+    q_batch: int = 16,
+    p_chunk: int = 512,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact end-to-end MaxSim retrieval: every query vs every passage.
+
+    Goes beyond the reference, which has NO first-stage ColBERT retrieval
+    path at all (ColBERT/modeling.py:340-442 scores candidate pairs only,
+    as the TCT teacher / reranker); this closes the loop so a ColBERT
+    model trains and retrieves through the same verbs as the other
+    families.  The passage plane uploads once; query batches stream
+    through one compiled scan program.
+
+    Returns ``(scores (Nq, topk), rows (Nq, topk))`` with rows as
+    passage-plane positions (exact, descending score).
+    """
+    n = p_reps.shape[0]
+    topk = min(topk, n)
+    p_chunk = min(p_chunk, n)
+    pad_p = (-n) % p_chunk
+    valid = np.ones(n + pad_p, bool)
+    if pad_p:
+        p_reps = np.pad(p_reps, ((0, pad_p), (0, 0), (0, 0)))
+        valid[n:] = False
+    p_d = jnp.asarray(p_reps)
+    v_d = jnp.asarray(valid)
+    nq = q_reps.shape[0]
+    scores = np.empty((nq, topk), np.float32)
+    rows = np.empty((nq, topk), np.int64)
+    for start in range(0, nq, q_batch):
+        sl = slice(start, min(start + q_batch, nq))
+        nb = sl.stop - sl.start
+        qb = np.pad(q_reps[sl], ((0, q_batch - nb), (0, 0), (0, 0)))
+        s, r = _maxsim_topk_device(jnp.asarray(qb), p_d, v_d, topk, p_chunk)
+        scores[sl] = np.asarray(s)[:nb]
+        rows[sl] = np.asarray(r)[:nb]
+    return scores, rows

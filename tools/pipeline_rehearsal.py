@@ -150,6 +150,8 @@ def family_flags(family: str, ckpt: str) -> list:
         return ["--model", "dense", "--pooling", "cls", *common]
     if family == "agg":
         return ["--model", "agg", *common, "--agg-dim", "640"]
+    if family == "colbert":
+        return ["--model", "colbert", *common]
     raise ValueError(f"unknown family {family}")
 
 
@@ -157,8 +159,11 @@ def eval_stage(tag, ckpt, work, corpus_path, queries_path, qrels_path, env,
                timings, args):
     """encode corpus+queries -> index -> search -> eval per family:
     dhr = int8 index, staged (theta+rerank) AND exact GIP; dense/agg =
-    exact IP (the reference's operating point for those families).
-    Returns the quality dict (always carries an "exact" entry)."""
+    exact IP (the reference's operating point for those families);
+    colbert = exact full-ranking MaxSim over the token-rep plane (no
+    index verb — the reps ARE the index), via colbert-score
+    --full-ranking.  Returns the quality dict (always carries an
+    "exact" entry)."""
     family = args.family
     enc_common = [
         *family_flags(family, ckpt),
@@ -175,6 +180,17 @@ def eval_stage(tag, ckpt, work, corpus_path, queries_path, qrels_path, env,
         "encode", *enc_common, "--input", queries_path,
         "--output", query_npz, "--encode-is-qry",
     ], env, timings)
+    if family == "colbert":
+        run_path = os.path.join(work, f"{tag}_exact.trec")
+        run_verb(f"{tag}.search-exact", [
+            "colbert-score", "--full-ranking",
+            "--query-reps", query_npz, "--passage-reps", corpus_npz,
+            "--output", run_path, "--topk", "1000",
+        ], env, timings)
+        out = run_verb(f"{tag}.eval-exact", [
+            "eval", "--qrels", qrels_path, "--run", run_path,
+        ], env, timings)
+        return {"exact": json.loads(out)}
     index_path = os.path.join(work, f"{tag}_index.npz")
     index_extra = (["--quantize", "--lex-dim", "768"]
                    if family == "dhr" else [])
@@ -251,11 +267,12 @@ def main():
                     "(n_corpus // 200) so every scale keeps the intended "
                     "~200 same-topic cousins per source passage")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--family", choices=("dhr", "dense", "agg"),
+    ap.add_argument("--family", choices=("dhr", "dense", "agg", "colbert"),
                     default="dhr",
                     help="retriever family: dhr = staged GIP + exact GIP; "
                     "dense/agg = exact IP (the reference's operating "
-                    "point for those families)")
+                    "point for those families); colbert = exact "
+                    "full-ranking MaxSim over token reps")
     args = ap.parse_args()
     global VERB_TIMEOUT_S
     VERB_TIMEOUT_S = args.verb_timeout

@@ -39,6 +39,10 @@ def render_one(r, out, depth="##"):
         out.append(f"- staged search: theta={cfg['theta']} (auto-calibrated "
                    "per checkpoint so the median query scans ~40 dims), "
                    f"rerank@{cfg['agip_topk']}, scan cap 48 dims")
+    elif family == "colbert":
+        out.append("- search: exact full-ranking MaxSim over token reps "
+                   "(colbert-score --full-ranking; beyond the reference, "
+                   "which only scores candidate pairs)")
     else:
         out.append("- search: exact IP (the reference's operating point "
                    "for this family)")
@@ -109,7 +113,8 @@ def main():
     else:
         for r in reports:
             fam = r["config"].get("family", "dhr")
-            suffix = "" if fam == "dhr" else f" — {fam} family (exact IP)"
+            mode = "exact MaxSim" if fam == "colbert" else "exact IP"
+            suffix = "" if fam == "dhr" else f" — {fam} family ({mode})"
             out.append(f"## At {r['config']['n_corpus']:,} passages{suffix}")
             out.append("")
             render_one(r, out, depth="###")
