@@ -72,3 +72,18 @@ def test_default_topics_keeps_cousins_per_topic_constant():
         assert abs(n / default_topics(n, False) - 200) <= 1
     assert default_topics(2048, quick=True) == 32
     assert default_topics(1000, quick=False) == 64  # floor
+
+
+def test_family_flags_parse_against_the_real_cli():
+    """Every family's flag set must stay parseable by the actual verbs the
+    rehearsal drives (train and encode share the model-arg group)."""
+    from dhr_tpu.cli.main import build_parser
+
+    from pipeline_rehearsal import family_flags
+
+    ap = build_parser()
+    for family in ("dhr", "dense", "agg", "colbert"):
+        flags = family_flags(family, "/tmp/ckpt")
+        args = ap.parse_args([
+            "encode", *flags, "--input", "x.jsonl", "--output", "y.npz"])
+        assert args.model == ("dhr" if family == "dhr" else family)
