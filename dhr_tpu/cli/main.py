@@ -829,9 +829,24 @@ def cmd_colbert_score(args):
     if args.full_ranking:
         from dhr_tpu.retrieval.trec import write_run
 
+        # surface conflicting pair-scoring flags instead of silently
+        # ignoring them (full-ranking always writes a TREC run and does
+        # not read --pairs / --batch-size)
+        if args.pairs:
+            raise SystemExit(
+                "--pairs conflicts with --full-ranking (full ranking "
+                "scores every query against the whole passage plane)")
+        if args.trec:
+            logger.warning(
+                "--trec is implied by --full-ranking (always a TREC run)")
+        if args.batch_size is not None:
+            logger.warning(
+                "--batch-size only applies to pair scoring; use "
+                "--query-batch / --passage-chunk with --full-ranking")
         scores, rows = full_ranking(
             q_reps, p_reps, topk=args.topk, q_batch=args.query_batch,
             p_chunk=args.passage_chunk,
+            max_plane_bytes=int(args.plane_budget_gb * (1 << 30)),
         )
         results = {str(q): [str(pids[int(r)]) for r in rr]
                    for q, rr in zip(qids, rows)}
@@ -850,7 +865,7 @@ def cmd_colbert_score(args):
             if len(parts) >= 2:
                 pairs.append((parts[0], parts[1]))
     scores = score_pairs(q_reps, qids, p_reps, pids, pairs,
-                         batch_size=args.batch_size)
+                         batch_size=args.batch_size or 256)
     if args.trec:
         from collections import defaultdict
 
@@ -1386,8 +1401,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="queries per device program with --full-ranking")
     p.add_argument("--passage-chunk", type=int, default=512,
                    help="passages per streamed scan slab with --full-ranking")
+    p.add_argument("--plane-budget-gb", type=float, default=4.0,
+                   help="with --full-ranking: max device-resident token-rep "
+                   "plane size; larger planes stream host->device in "
+                   "passage slabs with exact host-side top-k merge")
     p.add_argument("--output", required=True)
-    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="pairs per device program for pair scoring "
+                   "(default 256; not used with --full-ranking)")
     p.add_argument("--trec", action="store_true",
                    help="write a TREC run instead of a scores TSV")
     p.add_argument("--run-name", default="dhr_tpu")

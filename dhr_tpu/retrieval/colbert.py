@@ -122,6 +122,7 @@ def full_ranking(
     topk: int = 1000,
     q_batch: int = 16,
     p_chunk: int = 512,
+    max_plane_bytes: int = 4 << 30,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact end-to-end MaxSim retrieval: every query vs every passage.
 
@@ -129,14 +130,40 @@ def full_ranking(
     path at all (ColBERT/modeling.py:340-442 scores candidate pairs only,
     as the TCT teacher / reranker); this closes the loop so a ColBERT
     model trains and retrieves through the same verbs as the other
-    families.  The passage plane uploads once; query batches stream
-    through one compiled scan program.
+    families.
+
+    When the token-rep plane fits ``max_plane_bytes`` it uploads once and
+    query batches stream through one compiled scan program.  A larger
+    plane (the token plane is ``N x L x D`` — ~3.3 GB at 102.4k passages
+    f16, far over HBM at 1M) is instead streamed host->device in
+    passage *slabs*: each slab is exact-top-k'd on device and the
+    per-slab results merge exactly on the host, so corpus scale is
+    bounded by host memory, not HBM.
 
     Returns ``(scores (Nq, topk), rows (Nq, topk))`` with rows as
     passage-plane positions (exact, descending score).
     """
     n = p_reps.shape[0]
     topk = min(topk, n)
+    if p_reps.nbytes > max_plane_bytes and n > p_chunk:
+        per_row = max(1, p_reps.nbytes // n)
+        slab = max(p_chunk,
+                   (max_plane_bytes // per_row) // p_chunk * p_chunk)
+        parts_s, parts_r = [], []
+        for s0 in range(0, n, slab):
+            sub = p_reps[s0: s0 + slab]
+            ss, rr = full_ranking(
+                q_reps, sub, topk=min(topk, sub.shape[0]),
+                q_batch=q_batch, p_chunk=p_chunk,
+                max_plane_bytes=max_plane_bytes,
+            )
+            parts_s.append(ss)
+            parts_r.append(rr + s0)
+        cat_s = np.concatenate(parts_s, axis=1)
+        cat_r = np.concatenate(parts_r, axis=1)
+        order = np.argsort(-cat_s, axis=1, kind="stable")[:, :topk]
+        return (np.take_along_axis(cat_s, order, axis=1),
+                np.take_along_axis(cat_r, order, axis=1))
     p_chunk = min(p_chunk, n)
     pad_p = (-n) % p_chunk
     valid = np.ones(n + pad_p, bool)

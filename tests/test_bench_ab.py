@@ -42,6 +42,24 @@ def test_parse_overrides_rejects_unknown():
         bench_ab.parse_overrides(["missing-equals"], SearchConfig)
 
 
+def test_parse_overrides_type_directed():
+    # numeric-looking value for the str-typed 'mode' stays a string
+    assert bench_ab.parse_overrides(["mode=123"], SearchConfig) == {
+        "mode": "123"}
+    # 'none' rejected for non-optional fields
+    with pytest.raises(SystemExit):
+        bench_ab.parse_overrides(["agip_topk=none"], SearchConfig)
+    # bool literal rejected for non-bool fields
+    with pytest.raises(SystemExit):
+        bench_ab.parse_overrides(["agip_topk=true"], SearchConfig)
+    # junk rejected for numeric-only fields
+    with pytest.raises(SystemExit):
+        bench_ab.parse_overrides(["agip_topk=fast"], SearchConfig)
+    # int literal onto a float field parses as float
+    assert bench_ab.parse_overrides(
+        ["candidate_recall=1"], SearchConfig) == {"candidate_recall": 1.0}
+
+
 def test_ab_run_toy(tmp_path, capsys):
     """End-to-end at toy scale: arms differing only in candidate_slices
     must agree on rankings and produce the paired-accounting fields."""

@@ -58,6 +58,43 @@ def test_full_ranking_topk_clamp_and_head_agreement(rng):
     assert np.isfinite(scores).all()
 
 
+def test_full_ranking_slab_streaming_matches_resident(rng):
+    """A plane over the device budget streams in passage slabs; the
+    host-side exact merge must reproduce the resident-plane result."""
+    q = make_reps(rng, 5, 4)
+    p = make_reps(rng, 41, 6)
+    want_s, want_r = full_ranking(q, p, topk=9, q_batch=2, p_chunk=4)
+    # budget of ~3 chunks worth of rows forces 4 slabs of 12 rows
+    got_s, got_r = full_ranking(
+        q, p, topk=9, q_batch=2, p_chunk=4,
+        max_plane_bytes=12 * p[0].nbytes)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-6)
+    # same ranked score sequence; row ids equal away from score ties
+    ties = np.isclose(want_s[:, 1:], want_s[:, :-1]).any(axis=1)
+    np.testing.assert_array_equal(got_r[~ties], want_r[~ties])
+
+
+def test_cli_full_ranking_rejects_pairs(tmp_path, rng):
+    import pytest
+
+    q = make_reps(rng, 2, 4)
+    p = make_reps(rng, 6, 6)
+    for name, reps, ids in (("q", q, ["q0", "q1"]),
+                            ("p", p, [f"d{i}" for i in range(6)])):
+        path = tmp_path / f"{name}.npz"
+        np.savez(path, token=reps)
+        with open(str(path) + ".ids.json", "w") as f:
+            json.dump(ids, f)
+    pairs = tmp_path / "pairs.tsv"
+    pairs.write_text("q0\td0\n")
+    with pytest.raises(SystemExit):
+        main(["colbert-score", "--full-ranking",
+              "--pairs", str(pairs),
+              "--query-reps", str(tmp_path / "q.npz"),
+              "--passage-reps", str(tmp_path / "p.npz"),
+              "--output", str(tmp_path / "run.trec")])
+
+
 def test_cli_full_ranking_trec(tmp_path, rng):
     q = make_reps(rng, 3, 4)
     p = make_reps(rng, 10, 6)

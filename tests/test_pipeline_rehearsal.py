@@ -14,11 +14,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from pipeline_rehearsal import (  # noqa: E402
     FIRST_TOKEN,
+    MAX_STAGED_RUNGS,
+    STAGED_FLOOR,
     VOCAB,
+    _ratio,
     make_queries,
     make_world,
     zipf_background,
 )
+
+
+def test_staged_quality_ratio():
+    assert _ratio(0.09, 0.10) == 0.9
+    assert _ratio(0.2, 0.1) == 2.0
+    # nothing to preserve -> trivially passing
+    assert _ratio(0.0, 0.0) == 1.0
+    assert _ratio(None, None) == 1.0
+    assert _ratio(0.0, None) == 1.0
+    # the contract constants the rehearsal asserts against
+    assert 0.0 < STAGED_FLOOR <= 1.0 and MAX_STAGED_RUNGS >= 1
 
 
 def test_world_token_ranges_and_lengths():

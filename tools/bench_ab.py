@@ -56,23 +56,45 @@ def log(*a):
 
 
 def _coerce(field: dataclasses.Field, raw: str):
-    """Parse a CLI override onto a SearchConfig field.
+    """Parse a CLI override onto a SearchConfig field, directed by the
+    field's declared type (plain or union: bool|str, int|str, int|None).
 
-    Fields are plain or union-typed (bool|str, int|str, int|None); try
-    the literal forms first, then numbers, then keep the string (the
-    'auto' values).
+    A value whose form is not admitted by the annotation is a CLI error
+    (SystemExit), not a silently malformed config — e.g. a numeric
+    string for a str-only field stays a string, and 'none' is rejected
+    for non-optional fields.
     """
+    ann = str(field.type)
     low = raw.lower()
+
+    def admits(token):
+        return token in ann
+
     if low in ("true", "false"):
+        if not admits("bool"):
+            raise SystemExit(
+                f"field '{field.name}' ({ann}) does not take a bool: {raw!r}")
         return low == "true"
     if low in ("none", "null"):
+        if not (admits("None") or admits("Optional")):
+            raise SystemExit(
+                f"field '{field.name}' ({ann}) is not optional: {raw!r}")
         return None
-    for cast in (int, float):
+    for token, cast in (("int", int), ("float", float)):
+        if admits(token):
+            try:
+                return cast(raw)
+            except ValueError:
+                continue
+    if admits("float"):  # int literal onto a float field
         try:
-            return cast(raw)
+            return float(raw)
         except ValueError:
-            continue
-    return raw
+            pass
+    if admits("str"):
+        return raw
+    raise SystemExit(
+        f"cannot parse {raw!r} for field '{field.name}' ({ann})")
 
 
 def parse_overrides(pairs, cfg_cls):

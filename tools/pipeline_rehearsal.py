@@ -50,6 +50,21 @@ FIRST_TOKEN = 999  # below: specials + unused wordpiece slots
 REMOVE = 570
 CLS_ID, SEP_ID = 101, 102
 VERB_TIMEOUT_S = 3600  # overridable via --verb-timeout (1M-scale runs)
+# Quality contract for the staged (theta+rerank) operating point: staged
+# Recall@1000 must hold >= this fraction of exact GIP's, else the trained
+# stage escalates (pool x4 / cap x2 / theta /2 per rung) and ultimately
+# the run FAILS (exit 2) — staged exists to preserve exact quality at
+# speed, so a silent collapse is a bug, not a data point (VERDICT r4 #1).
+STAGED_FLOOR = 0.9
+MAX_STAGED_RUNGS = 3
+
+
+def _ratio(num, den):
+    """staged/exact metric ratio; a 0 or missing denominator passes
+    trivially (nothing to preserve)."""
+    if not den:
+        return 1.0
+    return round(float(num or 0.0) / float(den), 4)
 
 
 def log(*a):
@@ -156,14 +171,25 @@ def family_flags(family: str, ckpt: str) -> list:
 
 
 def eval_stage(tag, ckpt, work, corpus_path, queries_path, qrels_path, env,
-               timings, args):
+               timings, args, calibrate=False):
     """encode corpus+queries -> index -> search -> eval per family:
     dhr = int8 index, staged (theta+rerank) AND exact GIP; dense/agg =
     exact IP (the reference's operating point for those families);
     colbert = exact full-ranking MaxSim over the token-rep plane (no
     index verb — the reps ARE the index), via colbert-score
     --full-ranking.  Returns the quality dict (always carries an
-    "exact" entry)."""
+    "exact" entry).
+
+    With ``calibrate=True`` (the trained dhr stage) the staged operating
+    point auto-escalates until staged Recall@1000 holds >= STAGED_FLOOR x
+    exact — the quality contract the staged mode exists to keep
+    (/root/reference/retrieval/gip_retrieval.py:128-156 preserves exact
+    quality at speed).  The round-4 1M rehearsal showed a fixed
+    (pool=10k, cap=48) point silently collapsing to 0.41x exact
+    Recall@1000 at 1M rows (VERDICT r4 weak #1); each rung quadruples
+    the candidate pool, doubles the scan cap, and halves theta (as
+    theta->0, cap->all dims, pool->N, staged IS exact, so the ladder
+    converges).  The trace of every rung lands in the report."""
     family = args.family
     enc_common = [
         *family_flags(family, ckpt),
@@ -199,46 +225,80 @@ def eval_stage(tag, ckpt, work, corpus_path, queries_path, qrels_path, env,
         *index_extra,
     ], env, timings)
 
-    quality = {}
-    if family == "dhr":
-        with np.load(query_npz if query_npz.endswith(".npz")
-                     else query_npz + ".npz") as zq:
-            qvals = np.asarray(zq["values"][:, :768], np.float32)
-        if args.theta == "auto":
-            # theta is a per-model tunable (the reference's 0.3 is
-            # calibrated to ITS trained MS MARCO models); for the
-            # rehearsal's small fresh-trained model pick the value that
-            # puts the median query at ~40 scanned dims — the same
-            # operating point the bench distribution targets (synth.py:
-            # mean 36 dims above theta).
-            kth = np.sort(qvals, axis=1)[:, -40]
-            theta = max(float(np.median(kth)), 1e-3)
-        else:
-            theta = float(args.theta)
-        above = (qvals > theta).sum(axis=1)
-        quality["theta"] = round(theta, 4)
-        quality["query_dims_above_theta"] = {
-            "mean": round(float(above.mean()), 1), "max": int(above.max()),
-        }
-        modes = (
-            ("staged", ["--theta", str(theta), "--rerank",
-                        "--agip-topk", str(args.agip_topk),
-                        "--max-important-dims", "48"]),
-            ("exact", ["--brute-force"]),
-        )
-    else:
-        modes = (("exact", ["--IP"]),)
-    for mode, extra in modes:
-        run_path = os.path.join(work, f"{tag}_{mode}.trec")
-        run_verb(f"{tag}.search-{mode}", [
+    def search_and_eval(mode, extra, label=None):
+        label = label or mode
+        run_path = os.path.join(work, f"{tag}_{label}.trec")
+        run_verb(f"{tag}.search-{label}", [
             "search", "--index-path", index_path, "--query-path", query_npz,
             "--output", run_path, "--topk", "1000",
             "--query-batch", str(args.query_batch), *extra,
         ], env, timings)
-        out = run_verb(f"{tag}.eval-{mode}", [
+        out = run_verb(f"{tag}.eval-{label}", [
             "eval", "--qrels", qrels_path, "--run", run_path,
         ], env, timings)
-        quality[mode] = json.loads(out)
+        return json.loads(out)
+
+    quality = {}
+    if family != "dhr":
+        quality["exact"] = search_and_eval("exact", ["--IP"])
+        return quality
+
+    with np.load(query_npz if query_npz.endswith(".npz")
+                 else query_npz + ".npz") as zq:
+        qvals = np.asarray(zq["values"][:, :768], np.float32)
+    if args.theta == "auto":
+        # theta is a per-model tunable (the reference's 0.3 is
+        # calibrated to ITS trained MS MARCO models); for the
+        # rehearsal's small fresh-trained model pick the value that
+        # puts the median query at ~40 scanned dims — the same
+        # operating point the bench distribution targets (synth.py:
+        # mean 36 dims above theta).
+        kth = np.sort(qvals, axis=1)[:, -40]
+        theta = max(float(np.median(kth)), 1e-3)
+    else:
+        theta = float(args.theta)
+
+    quality["exact"] = search_and_eval("exact", ["--brute-force"])
+    n_corpus = args.n_corpus
+    pool, cap = min(args.agip_topk, n_corpus), 48
+    trace = []
+    for rung in range(MAX_STAGED_RUNGS + 1):
+        above = (qvals > theta).sum(axis=1)
+        label = "staged" if rung == 0 else f"staged-r{rung}"
+        q = search_and_eval("staged", [
+            "--theta", str(theta), "--rerank",
+            "--agip-topk", str(pool),
+            "--max-important-dims", str(min(cap, 768)),
+        ], label=label)
+        point = {
+            "rung": rung, "theta": round(theta, 6), "agip_topk": pool,
+            "max_important_dims": min(cap, 768),
+            "query_dims_above_theta": {
+                "mean": round(float(above.mean()), 1),
+                "max": int(above.max()),
+            },
+            "Recall@1000": q.get("Recall@1000"),
+            "ratio_vs_exact_recall1000": _ratio(
+                q.get("Recall@1000"), quality["exact"].get("Recall@1000")),
+        }
+        trace.append(point)
+        quality["staged"] = q
+        quality["staged_operating_point"] = point
+        ok = point["ratio_vs_exact_recall1000"] >= STAGED_FLOOR
+        if ok or not calibrate:
+            break
+        if pool >= n_corpus and cap >= 768:
+            break  # staged == exact work; nothing left to escalate
+        log(f"staged Recall@1000 {q.get('Recall@1000')} < "
+            f"{STAGED_FLOOR}x exact "
+            f"{quality['exact'].get('Recall@1000')} -> escalating rung "
+            f"{rung + 1} (pool x4, cap x2, theta /2)")
+        pool = min(pool * 4, n_corpus)
+        cap = min(cap * 2, 768)
+        theta = theta / 2.0
+    quality["staged_calibration"] = trace
+    quality["theta"] = trace[-1]["theta"]
+    quality["query_dims_above_theta"] = trace[-1]["query_dims_above_theta"]
     return quality
 
 
@@ -254,7 +314,11 @@ def main():
     ap.add_argument("--theta", default="auto",
                     help="staged-search threshold; a float, or 'auto' to "
                     "calibrate per run so the median query scans ~40 dims")
-    ap.add_argument("--agip-topk", type=int, default=10000)
+    ap.add_argument("--agip-topk", type=int, default=None,
+                    help="staged candidate-pool size; default scales with "
+                    "the corpus (max(10000, n_corpus/50)) — a FIXED 10k "
+                    "pool is 10%% of a 102.4k corpus but 1%% of 1M, which "
+                    "is where the round-4 staged recall collapse came from")
     ap.add_argument("--query-batch", type=int, default=None)
     ap.add_argument("--encode-batch", type=int, default=None)
     ap.add_argument("--workdir", default=None)
@@ -285,6 +349,7 @@ def main():
     args.learning_rate = args.learning_rate or (1e-3 if q else 3e-4)
     args.query_batch = args.query_batch or (32 if q else 128)
     args.encode_batch = args.encode_batch or (32 if q else 64)
+    args.agip_topk = args.agip_topk or max(10_000, args.n_corpus // 50)
     n_topics = args.n_topics or default_topics(args.n_corpus, q)
     pool_size = 16 if q else 48
     hidden, layers, heads, ff = (
@@ -405,7 +470,7 @@ def main():
     trained_ckpt = os.path.join(train_dir, "export")
     report["trained"] = eval_stage(
         "trained", trained_ckpt, work, corpus_path, dev_path, qrels_path,
-        env, timings, args)
+        env, timings, args, calibrate=True)
     log("trained quality:", json.dumps(report["trained"]))
 
     report["timings"] = timings
@@ -413,6 +478,11 @@ def main():
     mrr_untrained = report["untrained"]["exact"]["MRR@10"]
     mrr_trained = report["trained"]["exact"]["MRR@10"]
     report["mrr_improves"] = bool(mrr_trained > mrr_untrained)
+    staged_ok = True
+    if args.family == "dhr":
+        point = report["trained"]["staged_operating_point"]
+        report["staged_holds_exact_quality"] = staged_ok = bool(
+            point["ratio_vs_exact_recall1000"] >= STAGED_FLOOR)
     text = json.dumps(report, indent=1)
     print(text)
     if args.out:
@@ -424,6 +494,13 @@ def main():
         # the infra-failure code (verb crash / timeout raises above).
         log("FAIL: trained MRR@10 did not beat untrained "
             f"({mrr_trained} <= {mrr_untrained})")
+        sys.exit(2)
+    if not staged_ok:
+        point = report["trained"]["staged_operating_point"]
+        log("FAIL: staged Recall@1000 below "
+            f"{STAGED_FLOOR}x exact even after "
+            f"{len(report['trained']['staged_calibration']) - 1} "
+            f"escalation rungs (final point: {json.dumps(point)})")
         sys.exit(2)
     log(f"OK: MRR@10 {mrr_untrained} -> {mrr_trained}")
 
