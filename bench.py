@@ -75,6 +75,10 @@ REFERENCE_CPU_THREADS = 72  # gip_retrieval.py:255-259 pins 72 threads
 # work): 1.38 q/s at 100k rows 1 core; kept for cross-round comparability
 REFERENCE_QPS_MEASURED_CPU_100K_LEGACY = 1.38
 REFERENCE_CORPUS_ROWS = 8_841_823
+# v5e HBM roofline (per chip). Stage GB/s in the bench detail is reported
+# against this so floor claims ("~350 GB/s = 43% plateau", docs/design.md)
+# are checkable from the JSON alone (VERDICT r4 #5).
+HBM_PEAK_GBPS_V5E = 819.0
 
 
 def build_device_index(seed: int = 0):
@@ -200,13 +204,61 @@ def measure_stage_times(searcher, qv, qi, n_iters=5):
     # and already compiled for it by the main timing loop
     qvs, qv1s, qifs, _, _ = searcher._upload(qv, qi)
     total_ms = timed(lambda: searcher._run_batch(qvs, qv1s, qifs, 0))
+
+    # ---- roofline accounting (VERDICT r4 #5): per-stage HBM bytes moved,
+    # achieved GB/s, and fraction of the v5e roofline.  Byte counts are the
+    # *algorithmic* HBM traffic of each stage (what the kernel must stream),
+    # so roofline_frac is a true lower bound on memory-system utilization:
+    # - theta pass streams, per (query, scanned dim), one dim-major value
+    #   row + one index row of N bytes each (no cross-query dedup — the
+    #   union kernel was measured-rejected, docs/design.md), and writes the
+    #   (B, N) score plane once;
+    # - candidate selection re-reads the (B, N) scores (approx_max_k is
+    #   k-bound, so its extra traffic is negligible);
+    # - rerank gathers agip_topk row-major rows (values incl. CLS tail +
+    #   index bytes) per query.
+    n_rows = int(vT.shape[1])
+    out_is = jnp.dtype(out_dtype).itemsize
+    score_plane = bs * n_rows * out_is
+    theta_bytes = (bs * n_dims * n_rows * (vT.dtype.itemsize
+                                           + iT.dtype.itemsize)
+                   + score_plane)
+    cand_bytes = score_plane
+    cand_ms = max(0.0, stage1_ms - theta_ms)
+    rerank_ms = max(0.0, total_ms - stage1_ms)
+    if cfg.rerank and idx.values is not None:
+        pool = min(cfg.agip_topk, n_rows)
+        rerank_bytes = bs * pool * (
+            idx.dim * idx.values.dtype.itemsize
+            + idx.lex_dim * idx.indices.dtype.itemsize)
+    else:
+        rerank_bytes = 0
+    peak = HBM_PEAK_GBPS_V5E if on_tpu else None
+
+    def _roof(nbytes, ms):
+        if ms <= 0:
+            return {"bytes_moved": int(nbytes)}
+        gbps = nbytes / (ms * 1e-3) / 1e9
+        d = {"bytes_moved": int(nbytes), "gbps": round(gbps, 1)}
+        if peak:
+            d["roofline_frac"] = round(gbps / peak, 3)
+        return d
+
+    total_bytes = theta_bytes + cand_bytes + rerank_bytes
     return {
         "batch_queries": bs,
         "theta_kernel_ms": round(theta_ms, 2),
-        "candidate_select_ms": round(max(0.0, stage1_ms - theta_ms), 2),
-        "rerank_ms": round(max(0.0, total_ms - stage1_ms), 2),
+        "candidate_select_ms": round(cand_ms, 2),
+        "rerank_ms": round(rerank_ms, 2),
         "total_batch_ms": round(total_ms, 2),
         "device_ms_per_query": round(total_ms / bs, 4),
+        "hbm_peak_gbps": peak,
+        "roofline": {
+            "theta_kernel": _roof(theta_bytes, theta_ms),
+            "candidate_select": _roof(cand_bytes, cand_ms),
+            "rerank": _roof(rerank_bytes, rerank_ms),
+            "total": _roof(total_bytes, total_ms),
+        },
     }
 
 

@@ -38,6 +38,8 @@ import dataclasses
 import json
 import logging
 import os
+import sys
+import time
 
 import numpy as np
 
@@ -403,6 +405,7 @@ def cmd_encode(args):
         inv = np.argsort(order)
         return tuple(a[inv] if a is not None else None for a in arrays)
 
+    t_enc0 = time.perf_counter()
     if model_cfg.model_type == "colbert":
         if order is not None and not pack:
             raise SystemExit(
@@ -452,6 +455,13 @@ def cmd_encode(args):
             f" (packed, <={args.pack_segments} docs/row)" if pack else "",
             args.output,
         )
+    enc_wall = time.perf_counter() - t_enc0
+    n_enc = len(ids)
+    print("DHR_TIMING " + json.dumps({
+        "verb": "encode", "items": n_enc,
+        "encode_wall_s": round(enc_wall, 3),
+        "items_per_s": round(n_enc / max(enc_wall, 1e-9), 1),
+    }), file=sys.stderr)
 
 
 # ---------------------------------------------------------------- densify --
@@ -557,6 +567,7 @@ def cmd_search(args):
         candidate_block=args.candidate_block,
         escalate_pool=args.escalate_pool,
         escalate_margin=args.escalate_margin,
+        row_chunk=getattr(args, "row_chunk", 0),
     )
     if getattr(args, "pool_calibrate", None):
         # measure the agip_topk throughput/quality frontier on these
@@ -589,6 +600,11 @@ def cmd_search(args):
     results, scores = searcher.search_run(qids, qv, qi)
     write_run(args.output, results, scores, run_name=args.run_name)
     logger.info("wrote %s (%d queries)", args.output, len(results))
+    if searcher.last_timing:
+        # machine-readable wall decomposition (compile vs device work) for
+        # pipeline harnesses; the stderr prefix is a stable contract
+        print("DHR_TIMING " + json.dumps(
+            {"verb": "search", **searcher.last_timing}), file=sys.stderr)
 
 
 def _value_dtype(name: str | None):
@@ -661,6 +677,7 @@ def cmd_serve(args):
             candidate_block=args.candidate_block,
             escalate_pool=args.escalate_pool,
             escalate_margin=args.escalate_margin,
+            row_chunk=getattr(args, "row_chunk", 0),
         ),
     )
     small = None
@@ -1249,6 +1266,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device plane layout: 'both' row+dim-major "
                         "(gip+rerank), 'row'/'dim' keep one orientation and "
                         "halve index HBM; auto picks from the mode")
+    p.add_argument("--row-chunk", type=int, default=0,
+                   help="row-chunked stage 1 for --IP with --layout row "
+                        "(corpus scales where a (B, N) score plane cannot "
+                        "fit next to the index): 0 auto, -1 off, >0 target "
+                        "rows per chunk")
     p.add_argument("--total-shard", type=int, default=1)
     p.add_argument("--shard", type=int, default=0)
     p.add_argument("--shard-over-devices", action="store_true")
@@ -1315,6 +1337,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layout", default="auto",
                    choices=["auto", "both", "row", "dim"],
                    help="device plane layout (see 'search --layout')")
+    p.add_argument("--row-chunk", type=int, default=0,
+                   help="row-chunked IP stage 1 (see 'search --row-chunk')")
     p.add_argument("--shard-over-devices", action="store_true")
     p.add_argument("--micro-batch-ms", type=float, default=0.0,
                    help="> 0: threaded server + device-worker coalescing — "

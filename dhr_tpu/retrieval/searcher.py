@@ -45,6 +45,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import time
 
 import numpy as np
 
@@ -138,6 +139,16 @@ class SearchConfig:
     # recall floor), smaller escalate fewer.  Calibrate against a measured
     # recall-vs-pool distribution for the corpus (see docs/design.md).
     escalate_margin: float = 0.0
+    # Row-chunked stage 1 for the row-major IP path (layout="row", the
+    # reference's --IP candidates + GIP-rerank operating point at corpus
+    # scales where the dim-major planes do not fit: 8.8M rows x 1664 B =
+    # 14.6 GB leaves no HBM for a (B, N) score plane or the int8->bf16
+    # matmul operand copy).  lax.map over row chunks keeps both transients
+    # chunk-sized; per-chunk candidate top-(k/J) then a global merge — the
+    # chunk-level twin of stratified candidate selection.  0 = auto (chunk
+    # above ~2M rows), -1 = off, >0 = target rows per chunk (rounded to a
+    # divisor of the shard row count).
+    row_chunk: int = 0
 
 
 _PALLAS_TILES = (819200, 409600, 262144, 204800, 131072, 102400, 65536, 51200, 32768,
@@ -182,6 +193,28 @@ def _pick_pallas_tile(
         if vmem <= _VMEM_BUDGET:
             return t
     return None
+
+
+def _pick_row_chunks(row_chunk: int, n_rows: int) -> int:
+    """Chunk count J for the row-major IP stage-1 scan (SearchConfig.row_chunk).
+
+    Auto mode chunks only above ~2M rows (below that the (B, N) scores and
+    the bf16 operand copy fit comfortably) targeting <=512k rows per chunk;
+    J must divide n_rows (lax.map needs equal chunks) — if no divisor gives
+    a chunk under ~2x the target, falls back to 1 (unchunked)."""
+    if row_chunk < 0 or n_rows <= 0:
+        return 1
+    if row_chunk == 0:
+        if n_rows <= (1 << 21):
+            return 1
+        target = 512 * 1024
+    else:
+        target = row_chunk
+    floor = max(1, target // 4)  # reject degenerate splits (e.g. prime N)
+    for j in range(1, min(n_rows, 4096) + 1):
+        if n_rows % j == 0 and n_rows // j <= target:
+            return j if n_rows // j >= floor else 1
+    return 1  # no usable divisor; caller keeps the unchunked path
 
 
 def _pick_slices(candidate_slices, n_lanes: int, k_local: int) -> int:
@@ -370,6 +403,7 @@ class Searcher:
         else:
             self._tier2 = None
         self.escalated_queries = 0  # cumulative, for /stats introspection
+        self.last_timing = None  # per-run wall decomposition (see search())
         self._stage1 = self._build_stage1()
         self._stage2 = self._build_stage2()
         self._prep = self._build_prep()
@@ -508,7 +542,48 @@ class Searcher:
                         qv, qi, values_T, indices_T, idx.lex_dim, n_dims
                     )
             elif row_major_ip:
-                scores = _partial_ip_scores_rowmajor(qv, arrs[0])
+                values = arrs[0]
+                J = _pick_row_chunks(cfg.row_chunk, values.shape[0])
+                if J > 1:
+                    # lax.map over row chunks: the int8->bf16 matmul operand
+                    # copy and the score block stay chunk-sized (at 8.8M
+                    # rows the full (B, N) plane + operand copy would not
+                    # fit next to the 14.6 GB index).  Per-chunk top-(k/J)
+                    # then global merge — chunk-level stratified selection.
+                    chunk = values.shape[0] // J
+                    k_local = min(k1, n_local)
+                    # approximate candidates (rerank path): top-(k/J) per
+                    # chunk, the chunk-level analog of stratified slices.
+                    # exact mode: top-k_local per chunk — the global top-k
+                    # is a subset of the union, so the merge stays exact.
+                    approx = cfg.rerank and cfg.approx_candidates
+                    k_pc = min(chunk, -(-k_local // J) if approx else k_local)
+
+                    def one_chunk(args):
+                        v, off = args
+                        s = _partial_ip_scores_rowmajor(qv, v)
+                        if approx and s.shape[-1] > 2 * k_pc:
+                            cv, cr = jax.lax.approx_max_k(
+                                s, k_pc, recall_target=cfg.candidate_recall)
+                        else:
+                            cv, cr = blockwise_topk(
+                                s, min(k_pc, s.shape[-1]), cfg.topk_block)
+                        return cv, cr + off
+
+                    offs = jnp.arange(J, dtype=jnp.int32) * chunk
+                    vals, rows = jax.lax.map(
+                        one_chunk,
+                        (values.reshape(J, chunk, values.shape[1]), offs),
+                    )
+                    B = qv.shape[0]
+                    vals = jnp.moveaxis(vals, 0, 1).reshape(B, -1)
+                    rows = jnp.moveaxis(rows, 0, 1).reshape(B, -1)
+                    if vals.shape[-1] > k_local:
+                        vals, pos = blockwise_topk(
+                            vals, k_local, cfg.topk_block)
+                        rows = jnp.take_along_axis(rows, pos, axis=-1)
+                    return vals, rows + offset
+                scores = _partial_ip_scores_rowmajor(qv, values)
             else:
                 scores = _partial_ip_scores(qv, arrs[0])
             k_local = min(k1, n_local)
@@ -841,25 +916,48 @@ class Searcher:
         - results start copying back (``copy_to_host_async``) while later
           batches still compute; the final gather mostly finds them ready.
         """
+        t0 = time.perf_counter()
         qvs, qv1s, qif, B, n_batches = self._upload(
             query_values, query_indices
         )
+        t_up = time.perf_counter()
         bs = self.config.query_batch
         device_out = []
+        t_first = t_up
         for bi in range(n_batches):
             out = self._run_batch(qvs, qv1s, qif, bi * bs)
+            if bi == 0:
+                # the first dispatch blocks on trace+compile when cold;
+                # later dispatches only enqueue.  The split lets callers
+                # report compile-vs-device time per run (VERDICT r4 #6).
+                t_first = time.perf_counter()
             for a in out:
                 try:
                     a.copy_to_host_async()
                 except Exception:  # noqa: BLE001 - optional fast path
                     pass
             device_out.append(out)
+        t_disp = time.perf_counter()
         scores = np.concatenate(
             [np.asarray(o[0]) for o in device_out], axis=0
         )[:B]
         rows = np.concatenate(
             [np.asarray(o[1]) for o in device_out], axis=0
         )[:B]
+        t_done = time.perf_counter()
+        self.last_timing = {
+            "queries": int(B),
+            "n_batches": int(n_batches),
+            "upload_s": round(t_up - t0, 3),
+            # trace + remote compile when cold; ~ms when the program (or
+            # the persistent compile cache entry) is warm
+            "first_dispatch_s": round(t_first - t_up, 3),
+            "dispatch_s": round(t_disp - t_first, 3),
+            # device execution + D2H drain of all batches
+            "gather_s": round(t_done - t_disp, 3),
+            "post_compile_qps": round(
+                B / max(t_done - t_first, 1e-9), 2),
+        }
         if self._tier2 is not None:
             scores, rows = self._escalate(
                 (qvs, qv1s, qif), device_out, scores, rows, B

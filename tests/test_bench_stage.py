@@ -1,0 +1,41 @@
+"""bench.py stage decomposition: the roofline accounting (bytes moved,
+GB/s, roofline fraction — VERDICT r4 #5) must be well-formed on the CPU
+scan path so a malformed block never reaches BENCH_r{N}.json."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_measure_stage_times_roofline(rng):
+    import bench
+    from dhr_tpu.retrieval import DeviceIndex, SearchConfig, Searcher
+    from dhr_tpu.retrieval.index import PackedIndex
+
+    N, lex, cls = 512, 12, 4
+    values = (rng.random((N, lex + cls)) + 0.05).astype(np.float16)
+    indices = rng.integers(0, 5, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex).quantize()
+    searcher = Searcher(
+        DeviceIndex.from_packed(packed),
+        SearchConfig(topk=7, mode="gip", theta=0.05, rerank=True,
+                     agip_topk=32, max_important_dims=8, query_batch=4),
+    )
+    qv = values[:8].astype(np.float32)
+    qi = indices[:8].astype(np.int32)
+    stage = bench.measure_stage_times(searcher, qv, qi, n_iters=1)
+    assert "roofline" in stage
+    roof = stage["roofline"]
+    for name in ("theta_kernel", "candidate_select", "rerank", "total"):
+        assert roof[name]["bytes_moved"] >= 0
+    # theta pass streams B x n_dims x N value+index bytes + the score plane
+    assert roof["theta_kernel"]["bytes_moved"] == 4 * 8 * N * 2 + 4 * N * 2
+    # rerank gathers pool rows from both row-major planes
+    assert roof["rerank"]["bytes_moved"] == 4 * 32 * ((lex + cls) + lex)
+    # CPU run: no roofline fraction against the v5e peak
+    assert stage["hbm_peak_gbps"] is None
+    assert "roofline_frac" not in roof["total"]

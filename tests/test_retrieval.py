@@ -705,3 +705,54 @@ def test_pick_pallas_tile_fused_block_rule():
     t_eq = _pick_pallas_tile(102_400, value_bytes=1, unroll=8,
                              fused_block=16)
     assert t_eq in (None, 102_400) or (t_eq // (128 * 16)) % 8 == 0
+
+
+def test_pick_row_chunks():
+    """Auto mode chunks only above ~2M rows; explicit targets round to the
+    smallest divisor-count whose chunk fits the target."""
+    from dhr_tpu.retrieval.searcher import _pick_row_chunks
+
+    assert _pick_row_chunks(0, 1_638_400) == 1          # under auto floor
+    j = _pick_row_chunks(0, 8_806_400)                  # 8.8M rows
+    assert j > 1 and 8_806_400 % j == 0
+    assert 8_806_400 // j <= 512 * 1024
+    assert _pick_row_chunks(-1, 8_806_400) == 1         # -1 = off
+    assert _pick_row_chunks(64, 256) == 4               # explicit target
+    assert _pick_row_chunks(100, 97) == 1               # whole plane fits target
+    assert _pick_row_chunks(50, 97) == 1                # prime: degenerate split rejected
+
+
+def test_row_chunked_ip_rerank_matches_unchunked(rng):
+    """--row-chunk stage 1 (layout='row', the 8.8M-scale --IP+rerank
+    operating mode) returns the same rankings as the unchunked path with
+    exact candidates, and agreeing top-k with approximate candidates."""
+    N, lex, cls = 256, 12, 4
+    D = lex + cls
+    values = (rng.random((N, D)) + 0.05).astype(np.float16)
+    indices = rng.integers(0, 5, (N, lex)).astype(np.uint8)
+    docids = np.asarray([f"d{i}" for i in range(N)], dtype=object)
+    packed = PackedIndex(values, indices, docids, lex_dim=lex)
+    qv = values[:4].astype(np.float32)
+    qi = indices[:4].astype(np.int32)
+
+    base_kw = dict(topk=7, mode="ip", rerank=True, agip_topk=32,
+                   query_batch=4, approx_candidates=False)
+    plain = Searcher(DeviceIndex.from_packed(packed, layout="row"),
+                     SearchConfig(**base_kw, row_chunk=-1))
+    chunked = Searcher(DeviceIndex.from_packed(packed, layout="row"),
+                       SearchConfig(**base_kw, row_chunk=64))
+    sp, rp = plain.search(qv, qi)
+    sc, rc = chunked.search(qv, qi)
+    np.testing.assert_array_equal(rp, rc)
+    np.testing.assert_allclose(sp, sc, rtol=1e-5, atol=1e-5)
+
+    # no-rerank chunked IP: exact top-k must also match
+    kw2 = dict(topk=7, mode="ip", query_batch=4)
+    plain2 = Searcher(DeviceIndex.from_packed(packed, layout="row"),
+                      SearchConfig(**kw2, row_chunk=-1))
+    chunk2 = Searcher(DeviceIndex.from_packed(packed, layout="row"),
+                      SearchConfig(**kw2, row_chunk=32))
+    s2p, r2p = plain2.search(qv, qi)
+    s2c, r2c = chunk2.search(qv, qi)
+    np.testing.assert_array_equal(r2p, r2c)
+    np.testing.assert_allclose(s2p, s2c, rtol=1e-5, atol=1e-5)

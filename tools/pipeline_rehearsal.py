@@ -142,7 +142,18 @@ def run_verb(name, argv, env, timings, timeout=None):
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=timeout,
     )
     dt = time.time() - t0
-    timings.append({"verb": name, "wall_s": round(dt, 1)})
+    entry = {"verb": name, "wall_s": round(dt, 1)}
+    # verbs emit machine-readable "DHR_TIMING {json}" stderr lines with
+    # their compile-vs-device wall decomposition (VERDICT r4 #6: verb
+    # wall-clock alone cannot be told apart from relay/compile weather)
+    for line in (proc.stderr or "").splitlines():
+        if line.startswith("DHR_TIMING "):
+            try:
+                entry.setdefault("device", []).append(
+                    json.loads(line[len("DHR_TIMING "):]))
+            except json.JSONDecodeError:
+                pass
+    timings.append(entry)
     if proc.returncode != 0:
         raise RuntimeError(
             f"{name} failed (rc={proc.returncode}):\n"
