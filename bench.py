@@ -81,6 +81,19 @@ REFERENCE_CORPUS_ROWS = 8_841_823
 HBM_PEAK_GBPS_V5E = 819.0
 
 
+def _load_measured_points():
+    """Committed on-chip measurements at >=8.8M rows (docs/measured_points
+    .json, written by the round-5 big-index probe).  Returned verbatim in
+    the detail block; absent file -> a note, never a failure."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "measured_points.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        return {"note": "docs/measured_points.json not present"}
+
+
 def build_device_index(seed: int = 0):
     """Corpus planes from the trained-rep-statistics generator, chunked +
     int8-quantized on device in one jitted program (eager per-op dispatch
@@ -447,6 +460,11 @@ def main():
             "ranking_agreement": agreement,
             "index_rows": N_ROWS,
             "qps_8.8M_equivalent": round(qps_msmarco_equiv, 2),
+            # measured (not row-scaled) large-index points, recorded once
+            # on-chip by the round-5 big-index probe and committed as an
+            # artifact so the extrapolated 8.8M figure above ships next to
+            # a real >=8.8M-row measurement (VERDICT r4 #4)
+            "measured_large_index": _load_measured_points(),
             "topk_returned": int(rows.shape[1]),
             "kernel_smoke_max_diff": round(smoke_diff, 6),
             "encode_passages_per_sec": round(encode_pps, 1),
