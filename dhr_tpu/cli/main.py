@@ -742,7 +742,7 @@ def cmd_info(args):
         "process_count": jax.process_count(),
         "native_runtime": native.available(),
         "native_so": native._SO if native.available() else None,
-        "compile_cache": os.environ.get("JAX_COMPILATION_CACHE_DIR"),
+        "compile_cache": jax.config.jax_compilation_cache_dir,
     }
     print(json.dumps(out, indent=1))
 
@@ -1496,6 +1496,26 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", plat)
+    # Persistent compile cache, on by default: pipeline runs invoke several
+    # verbs as separate processes and each re-traces the same programs —
+    # measured on the 1M rehearsal, the SAME encode verb dropped 4920s ->
+    # 1063s once the cache was primed (remote TPU compiles are minutes
+    # each).  Users opt out with DHR_TPU_COMPILE_CACHE=0 or override the
+    # location by exporting JAX_COMPILATION_CACHE_DIR themselves.
+    if os.environ.get("DHR_TPU_COMPILE_CACHE", "1") != "0" and \
+            not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:  # not already set
+            cache_dir = os.path.join(
+                os.environ.get("XDG_CACHE_HOME",
+                               os.path.expanduser("~/.cache")),
+                "dhr_tpu", "jax_cache")
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+            except OSError:  # read-only home: run uncached
+                pass
     parser = build_parser()
     args = parser.parse_args(argv)
     args = _apply_config_file(args, parser)

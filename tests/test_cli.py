@@ -470,3 +470,37 @@ def test_info_verb_reports_environment(capsys):
     assert out["dhr_tpu"] == dhr_tpu.__version__  # single source of truth
     assert isinstance(out["native_runtime"], bool)
     assert out["process_count"] == 1
+
+
+def test_compile_cache_default_on(tmp_path, monkeypatch, capsys):
+    """main() points the persistent compile cache at the user cache dir
+    unless the user set JAX_COMPILATION_CACHE_DIR or opted out."""
+    import jax
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.delenv("DHR_TPU_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # a process that configured the cache itself (like the test
+        # conftest) is left alone
+        main(["info"])
+        assert jax.config.jax_compilation_cache_dir == prev
+        jax.config.update("jax_compilation_cache_dir", None)
+        main(["info"])
+        expected = str(tmp_path / "dhr_tpu" / "jax_cache")
+        assert jax.config.jax_compilation_cache_dir == expected
+        assert os.path.isdir(expected)
+        # opt-out leaves whatever was configured before untouched
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("DHR_TPU_COMPILE_CACHE", "0")
+        main(["info"])
+        assert jax.config.jax_compilation_cache_dir is None
+        # explicit env var wins over the default location
+        monkeypatch.delenv("DHR_TPU_COMPILE_CACHE", raising=False)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/elsewhere")
+        main(["info"])
+        assert jax.config.jax_compilation_cache_dir is None  # untouched
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+    capsys.readouterr()
