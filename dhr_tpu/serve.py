@@ -550,6 +550,18 @@ def serve(searcher, host: str = "127.0.0.1", port: int = 8080,
                   threaded=micro_batch_ms > 0)
 
 
+class _PlainServer(HTTPServer):
+    # socketserver's default listen backlog is 5; a burst of concurrent
+    # clients (measured: 64 simultaneous connects at the 1M serve probe,
+    # 5/512 requests reset by the kernel before the handler saw them)
+    # overflows it.  Raise it well past any sane client burst.
+    request_queue_size = 1024
+
+
+class _ThreadingServer(ThreadingHTTPServer):
+    request_queue_size = 1024
+
+
 def serve_service(service: SearchService, host: str = "127.0.0.1",
                   port: int = 8080, threaded: bool = False):
     """Blocking serve loop over an already-built :class:`SearchService`.
@@ -558,7 +570,7 @@ def serve_service(service: SearchService, host: str = "127.0.0.1",
     constructing the service (the service owns them and a ``free_first``
     reload frees them) — callers' stack frames outlive ``serve_forever``.
     """
-    server_cls = ThreadingHTTPServer if threaded else HTTPServer
+    server_cls = _ThreadingServer if threaded else _PlainServer
     server = server_cls((host, port), make_handler(service))
     logger.info("serving %d rows on %s:%d (threaded=%s)",
                 service.stats().get("rows", 0), host, port, threaded)

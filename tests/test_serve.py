@@ -917,3 +917,18 @@ def test_admin_reload_token_required(rng, tmp_path):
     finally:
         server.shutdown()
         t.join(timeout=5)
+
+
+def test_listen_backlog_covers_client_bursts():
+    """The HTTP servers must override socketserver's default listen
+    backlog of 5: at the 1M serve probe, 64 simultaneous fresh
+    connections on a busy 1-core host overflowed the accept queue and
+    the kernel dropped 5/512 requests (synack-retry exhaustion) before
+    the handler ever saw them."""
+    from dhr_tpu.serve import _PlainServer, _ThreadingServer, serve_service
+    import inspect
+
+    assert _PlainServer.request_queue_size >= 256
+    assert _ThreadingServer.request_queue_size >= 256
+    src = inspect.getsource(serve_service)
+    assert "_ThreadingServer" in src and "_PlainServer" in src
