@@ -39,3 +39,25 @@ def test_measure_stage_times_roofline(rng):
     # CPU run: no roofline fraction against the v5e peak
     assert stage["hbm_peak_gbps"] is None
     assert "roofline_frac" not in roof["total"]
+
+
+def test_load_measured_points_absent_and_present(tmp_path, monkeypatch):
+    """bench detail must carry docs/measured_points.json verbatim when
+    present and a note (never a failure) when absent."""
+    import json
+
+    import bench
+
+    real = bench._load_measured_points()
+    assert isinstance(real, dict)  # whatever state the repo is in
+
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(tmp_path / "bench.py"))
+    assert "note" in bench._load_measured_points()
+
+    (tmp_path / "docs").mkdir()
+    payload = {"points": [{"tag": "8.8M ip+rerank qb=64", "rows": 8806400,
+                           "qps_median": 1.0}]}
+    (tmp_path / "docs" / "measured_points.json").write_text(
+        json.dumps(payload))
+    assert bench._load_measured_points() == payload
