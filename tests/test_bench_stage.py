@@ -61,3 +61,27 @@ def test_load_measured_points_absent_and_present(tmp_path, monkeypatch):
     (tmp_path / "docs" / "measured_points.json").write_text(
         json.dumps(payload))
     assert bench._load_measured_points() == payload
+
+
+def test_harvest_measured_points(tmp_path):
+    """The harvest tool separates measured points from error lines and
+    writes the schema bench.py ships verbatim."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from harvest_measured_points import harvest
+
+    src = tmp_path / "probe.json"
+    src.write_text(
+        json.dumps({"tag": "8.8M ip+rerank qb=64", "rows": 8806400,
+                    "qps_median": 123.4}) + "\n" +
+        json.dumps({"tag": "3.69M", "error": "RESOURCE_EXHAUSTED: oom"})
+        + "\n")
+    dst = tmp_path / "measured_points.json"
+    out = harvest(str(src), str(dst))
+    assert len(out["points"]) == 1 and out["points"][0]["rows"] == 8806400
+    assert len(out["errors"]) == 1
+    assert json.loads(dst.read_text())["points"] == out["points"]
