@@ -90,7 +90,9 @@ def _load_measured_points():
     try:
         with open(path) as f:
             return json.load(f)
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError covers a corrupt/partial file: bench must still print
+        # its one JSON line (CLAUDE.md contract), never traceback here.
         return {"note": "docs/measured_points.json not present"}
 
 

@@ -199,9 +199,13 @@ def _pick_row_chunks(row_chunk: int, n_rows: int) -> int:
     """Chunk count J for the row-major IP stage-1 scan (SearchConfig.row_chunk).
 
     Auto mode chunks only above ~2M rows (below that the (B, N) scores and
-    the bf16 operand copy fit comfortably) targeting <=512k rows per chunk;
-    J must divide n_rows (lax.map needs equal chunks) — if no divisor gives
-    a chunk under ~2x the target, falls back to 1 (unchunked)."""
+    the bf16 operand copy fit comfortably) targeting <=512k rows per chunk.
+    J = ceil(n_rows / target): the main body is J equal chunks of
+    n_rows // J rows (aligned down to a multiple of 512 when large) scanned
+    under lax.map, and the remainder is scored as one separate tail slice —
+    so ANY row count chunks (MS MARCO's 8,841,823 is prime; a divisor-based
+    scheme would silently fall back to the unchunked path and OOM at the
+    exact scale chunking exists for)."""
     if row_chunk < 0 or n_rows <= 0:
         return 1
     if row_chunk == 0:
@@ -210,11 +214,18 @@ def _pick_row_chunks(row_chunk: int, n_rows: int) -> int:
         target = 512 * 1024
     else:
         target = row_chunk
-    floor = max(1, target // 4)  # reject degenerate splits (e.g. prime N)
-    for j in range(1, min(n_rows, 4096) + 1):
-        if n_rows % j == 0 and n_rows // j <= target:
-            return j if n_rows // j >= floor else 1
-    return 1  # no usable divisor; caller keeps the unchunked path
+    if n_rows <= target:
+        return 1
+    return -(-n_rows // target)
+
+
+def _row_chunk_split(n_rows: int, J: int) -> tuple[int, int]:
+    """(chunk, main): J*chunk rows scan under lax.map, n_rows-main is the
+    tail.  Chunks align down to 512 rows (lane-friendly) when large."""
+    chunk = n_rows // J
+    if chunk >= 1024:
+        chunk -= chunk % 512
+    return chunk, J * chunk
 
 
 def _pick_slices(candidate_slices, n_lanes: int, k_local: int) -> int:
@@ -550,7 +561,9 @@ class Searcher:
                     # rows the full (B, N) plane + operand copy would not
                     # fit next to the 14.6 GB index).  Per-chunk top-(k/J)
                     # then global merge — chunk-level stratified selection.
-                    chunk = values.shape[0] // J
+                    # Rows beyond J*chunk are scored as one small tail slice
+                    # (< chunk rows) so J need not divide the row count.
+                    chunk, main = _row_chunk_split(values.shape[0], J)
                     k_local = min(k1, n_local)
                     # approximate candidates (rerank path): top-(k/J) per
                     # chunk, the chunk-level analog of stratified slices.
@@ -573,15 +586,23 @@ class Searcher:
                     offs = jnp.arange(J, dtype=jnp.int32) * chunk
                     vals, rows = jax.lax.map(
                         one_chunk,
-                        (values.reshape(J, chunk, values.shape[1]), offs),
+                        (values[:main].reshape(J, chunk, values.shape[1]),
+                         offs),
                     )
                     B = qv.shape[0]
                     vals = jnp.moveaxis(vals, 0, 1).reshape(B, -1)
                     rows = jnp.moveaxis(rows, 0, 1).reshape(B, -1)
-                    if vals.shape[-1] > k_local:
-                        vals, pos = blockwise_topk(
-                            vals, k_local, cfg.topk_block)
-                        rows = jnp.take_along_axis(rows, pos, axis=-1)
+                    if main < values.shape[0]:
+                        tv, tr = one_chunk(
+                            (values[main:], jnp.int32(main)))
+                        vals = jnp.concatenate([vals, tv], axis=-1)
+                        rows = jnp.concatenate([rows, tr], axis=-1)
+                    # always merge-sort the pool: with exact J*k_pc == k_local
+                    # the concatenation is chunk-ordered, and stage-1 output
+                    # contracts descending score order.
+                    vals, pos = blockwise_topk(
+                        vals, min(k_local, vals.shape[-1]), cfg.topk_block)
+                    rows = jnp.take_along_axis(rows, pos, axis=-1)
                     return vals, rows + offset
                 scores = _partial_ip_scores_rowmajor(qv, values)
             else:

@@ -9,6 +9,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
@@ -29,8 +30,11 @@ def test_staged_quality_ratio():
     assert _ratio(0.2, 0.1) == 2.0
     # nothing to preserve -> trivially passing
     assert _ratio(0.0, 0.0) == 1.0
-    assert _ratio(None, None) == 1.0
-    assert _ratio(0.0, None) == 1.0
+    # MISSING metric (key rename) -> loud failure, never a silent pass
+    # that would disable the exit-2 quality gate
+    for num, den in ((None, None), (0.0, None), (None, 0.1)):
+        with pytest.raises(KeyError):
+            _ratio(num, den)
     # the contract constants the rehearsal asserts against
     assert 0.0 < STAGED_FLOOR <= 1.0 and MAX_STAGED_RUNGS >= 1
 

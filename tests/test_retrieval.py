@@ -708,18 +708,22 @@ def test_pick_pallas_tile_fused_block_rule():
 
 
 def test_pick_row_chunks():
-    """Auto mode chunks only above ~2M rows; explicit targets round to the
-    smallest divisor-count whose chunk fits the target."""
-    from dhr_tpu.retrieval.searcher import _pick_row_chunks
+    """Auto mode chunks only above ~2M rows; J = ceil(rows/target) with the
+    remainder handled as a tail slice, so ANY row count chunks (MS MARCO's
+    8,841,823 is prime)."""
+    from dhr_tpu.retrieval.searcher import _pick_row_chunks, _row_chunk_split
 
     assert _pick_row_chunks(0, 1_638_400) == 1          # under auto floor
-    j = _pick_row_chunks(0, 8_806_400)                  # 8.8M rows
-    assert j > 1 and 8_806_400 % j == 0
-    assert 8_806_400 // j <= 512 * 1024
+    for n in (8_806_400, 8_841_823):                    # 8.8M synth + real (prime)
+        j = _pick_row_chunks(0, n)
+        chunk, main = _row_chunk_split(n, j)
+        assert j > 1 and chunk <= 512 * 1024
+        assert 0 <= n - main < chunk                    # tail smaller than a chunk
+        assert chunk % 512 == 0                         # lane-friendly main chunks
     assert _pick_row_chunks(-1, 8_806_400) == 1         # -1 = off
     assert _pick_row_chunks(64, 256) == 4               # explicit target
     assert _pick_row_chunks(100, 97) == 1               # whole plane fits target
-    assert _pick_row_chunks(50, 97) == 1                # prime: degenerate split rejected
+    assert _pick_row_chunks(50, 97) == 2                # prime: 2 chunks + tail
 
 
 def test_row_chunked_ip_rerank_matches_unchunked(rng):
@@ -756,3 +760,26 @@ def test_row_chunked_ip_rerank_matches_unchunked(rng):
     s2c, r2c = chunk2.search(qv, qi)
     np.testing.assert_array_equal(r2p, r2c)
     np.testing.assert_allclose(s2p, s2c, rtol=1e-5, atol=1e-5)
+
+    # prime row count: chunking must still engage (tail slice) and match
+    packed_p = PackedIndex(values[:97], indices[:97],
+                           docids[:97], lex_dim=lex)
+    plain_p = Searcher(DeviceIndex.from_packed(packed_p, layout="row"),
+                       SearchConfig(**kw2, row_chunk=-1))
+    chunk_p = Searcher(DeviceIndex.from_packed(packed_p, layout="row"),
+                       SearchConfig(**kw2, row_chunk=32))
+    spp, rpp = plain_p.search(qv, qi)
+    spc, rpc = chunk_p.search(qv, qi)
+    np.testing.assert_array_equal(rpp, rpc)
+    np.testing.assert_allclose(spp, spc, rtol=1e-5, atol=1e-5)
+
+    # chunk-order regression: pool width == k_local (J*k_pc == topk with
+    # approximate candidates) must still come back globally score-sorted.
+    # (Chunked vs unchunked approximate POOLS legitimately differ at
+    # zero-slack settings, so only the ordering contract is asserted.)
+    kw3 = dict(topk=8, mode="ip", rerank=True, agip_topk=8, query_batch=4,
+               approx_candidates=True)
+    chunk3 = Searcher(DeviceIndex.from_packed(packed, layout="row"),
+                      SearchConfig(**kw3, row_chunk=64))
+    s3c, _ = chunk3.search(qv, qi)
+    assert np.all(np.diff(np.asarray(s3c), axis=-1) <= 1e-6)

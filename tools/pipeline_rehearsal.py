@@ -60,11 +60,17 @@ MAX_STAGED_RUNGS = 3
 
 
 def _ratio(num, den):
-    """staged/exact metric ratio; a 0 or missing denominator passes
-    trivially (nothing to preserve)."""
+    """staged/exact metric ratio.  A MISSING metric fails loudly — a
+    silent 1.0 would disable the exit-2 quality gate on a key rename,
+    the exact failure mode the gate exists to catch.  A genuinely-zero
+    denominator passes trivially (nothing to preserve)."""
+    if num is None or den is None:
+        raise KeyError(
+            "Recall@1000 missing from eval output — the staged-quality "
+            "gate cannot run (metric key changed?)")
     if not den:
         return 1.0
-    return round(float(num or 0.0) / float(den), 4)
+    return round(float(num) / float(den), 4)
 
 
 def log(*a):

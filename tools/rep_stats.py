@@ -124,6 +124,10 @@ def npz_stats(corpus_npz, query_npz, theta, cap, max_rows=0):
     n_rows = pk.values.shape[0] if not max_rows else min(
         max_rows, pk.values.shape[0])
     lexp = np.asarray(pk.values[:n_rows, :lex], np.float32)
+    if pk.value_scales is not None:
+        # int8-quantized npz: values are codes; dequantize per dim so the
+        # theta statistics are in score space, not code space
+        lexp *= np.asarray(pk.value_scales[:lex], np.float32)
     pf = np.asarray(pk.indices[:n_rows])
     n_folds = int(max(pf.max(), (qf[:, :lex].max() if qf is not None
                                  else 0))) + 1
@@ -247,7 +251,7 @@ def npz_agreement(pk, qv, qf, theta, cap, topk, pool, max_rows):
 
     n = min(max_rows or pk.values.shape[0], pk.values.shape[0])
     sub = PackedIndex(pk.values[:n], pk.indices[:n], pk.docids[:n],
-                      lex_dim=pk.lex_dim)
+                      lex_dim=pk.lex_dim, value_scales=pk.value_scales)
     idx = DeviceIndex.from_packed(sub)
     base = dict(topk=min(topk, n), mode="gip", rerank=True,
                 agip_topk=min(pool, n),
