@@ -773,6 +773,25 @@ def test_row_chunked_ip_rerank_matches_unchunked(rng):
     np.testing.assert_array_equal(rpp, rpc)
     np.testing.assert_allclose(spp, spc, rtol=1e-5, atol=1e-5)
 
+    # 512-alignment branch: chunk >= 1024 rows aligns down to a multiple
+    # of 512, growing the tail — rankings must still match exactly
+    N4 = 5000
+    values4 = (rng.random((N4, D)) + 0.05).astype(np.float16)
+    indices4 = rng.integers(0, 5, (N4, lex)).astype(np.uint8)
+    docids4 = np.asarray([f"d{i}" for i in range(N4)], dtype=object)
+    packed4 = PackedIndex(values4, indices4, docids4, lex_dim=lex)
+    from dhr_tpu.retrieval.searcher import _row_chunk_split
+    chunk4, main4 = _row_chunk_split(N4, 2)
+    assert chunk4 == 2048 and main4 == 4096  # tail = 904 rows
+    plain4 = Searcher(DeviceIndex.from_packed(packed4, layout="row"),
+                      SearchConfig(**kw2, row_chunk=-1))
+    chunk_s4 = Searcher(DeviceIndex.from_packed(packed4, layout="row"),
+                        SearchConfig(**kw2, row_chunk=2500))
+    s4p, r4p = plain4.search(qv, qi)
+    s4c, r4c = chunk_s4.search(qv, qi)
+    np.testing.assert_array_equal(r4p, r4c)
+    np.testing.assert_allclose(s4p, s4c, rtol=1e-5, atol=1e-5)
+
     # chunk-order regression: pool width == k_local (J*k_pc == topk with
     # approximate candidates) must still come back globally score-sorted.
     # (Chunked vs unchunked approximate POOLS legitimately differ at
