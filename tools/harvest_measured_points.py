@@ -7,7 +7,7 @@ detail block (``measured_large_index``) so the extrapolated
 ``qps_8.8M_equivalent`` figure always travels next to a real >=large-row
 measurement (VERDICT r4 #4).
 
-Usage: python tools/harvest_measured_points.py .tmp/probe_big_r5.json
+Usage: python tools/harvest_measured_points.py probe.json [more.json ...]
 """
 from __future__ import annotations
 
@@ -16,24 +16,28 @@ import os
 import sys
 
 
-def harvest(src: str, dst: str | None = None) -> dict:
+def harvest(srcs, dst: str | None = None) -> dict:
+    if isinstance(srcs, str):
+        srcs = [srcs]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dst = dst or os.path.join(repo, "docs", "measured_points.json")
     points, errors = [], []
-    with open(src) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            obj = json.loads(line)
-            (errors if "error" in obj else points).append(obj)
+    for src in srcs:
+        with open(src) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                (errors if "error" in obj else points).append(obj)
     if not points and not errors:
-        raise SystemExit(f"{src}: no JSON lines found")
+        raise SystemExit(f"{srcs}: no JSON lines found")
     out = {
         "provenance": (
             "one v5e chip through the axon relay; synthetic trained-rep-"
             "statistics planes (dhr_tpu/retrieval/synth.py) built on "
-            f"device; source artifact {os.path.basename(src)}"
+            "device; source artifacts "
+            + ", ".join(os.path.basename(s) for s in srcs)
         ),
         "points": points,
     }
@@ -46,8 +50,8 @@ def harvest(src: str, dst: str | None = None) -> dict:
 
 
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else ".tmp/probe_big_r5.json"
-    result = harvest(src)
+    srcs = sys.argv[1:] or [".tmp/probe_big_r5.json"]
+    result = harvest(srcs)
     print(json.dumps(
         {"points": len(result["points"]),
          "errors": len(result.get("errors", []))}))
