@@ -572,8 +572,7 @@ class Searcher:
                     approx = cfg.rerank and cfg.approx_candidates
                     k_pc = min(chunk, -(-k_local // J) if approx else k_local)
 
-                    def one_chunk(args):
-                        v, off = args
+                    def pool_part(v, off):
                         s = _partial_ip_scores_rowmajor(qv, v)
                         if approx and s.shape[-1] > 2 * k_pc:
                             cv, cr = jax.lax.approx_max_k(
@@ -583,18 +582,23 @@ class Searcher:
                                 s, min(k_pc, s.shape[-1]), cfg.topk_block)
                         return cv, cr + off
 
+                    def one_chunk(off):
+                        # dynamic_slice keeps the per-iteration temp
+                        # chunk-sized; feeding values[:main].reshape(J,
+                        # chunk, D) to lax.map instead forces XLA to
+                        # materialize the sliced plane as one HLO temp
+                        # COPY next to the resident plane (measured on
+                        # chip: +7.34 GiB at 8.8M rows -> compile OOM)
+                        v = jax.lax.dynamic_slice_in_dim(values, off, chunk)
+                        return pool_part(v, off)
+
                     offs = jnp.arange(J, dtype=jnp.int32) * chunk
-                    vals, rows = jax.lax.map(
-                        one_chunk,
-                        (values[:main].reshape(J, chunk, values.shape[1]),
-                         offs),
-                    )
+                    vals, rows = jax.lax.map(one_chunk, offs)
                     B = qv.shape[0]
                     vals = jnp.moveaxis(vals, 0, 1).reshape(B, -1)
                     rows = jnp.moveaxis(rows, 0, 1).reshape(B, -1)
                     if main < values.shape[0]:
-                        tv, tr = one_chunk(
-                            (values[main:], jnp.int32(main)))
+                        tv, tr = pool_part(values[main:], jnp.int32(main))
                         vals = jnp.concatenate([vals, tv], axis=-1)
                         rows = jnp.concatenate([rows, tr], axis=-1)
                     # always merge-sort the pool: with exact J*k_pc == k_local
@@ -783,6 +787,25 @@ class Searcher:
 
         emit_floor = bool(cfg.escalate_pool)
 
+        # dedupe plane arguments by identity: with layout="row" stage 1
+        # and rerank share idx.values, and passing the same buffer as two
+        # jit parameters makes XLA budget it TWICE in the compile-time
+        # HBM admission check (measured on chip: "arguments 21.0G" at an
+        # 8.8M-row 14.6 GB index -> permanent compile OOM)
+        _arrays = list(s1_arrays)
+
+        def _pos(a):
+            for i, b in enumerate(_arrays):
+                if a is b:
+                    return i
+            _arrays.append(a)
+            return len(_arrays) - 1
+
+        if do_rerank:
+            val_pos = _pos(idx.values)
+            idx_pos = _pos(idx.indices)
+        all_arrays = tuple(_arrays)
+
         @jax.jit
         def run(qv_all, qv1_all, qi_all, start, *arrs):
             qv1 = jax.lax.dynamic_slice_in_dim(qv1_all, start, bs)
@@ -791,14 +814,11 @@ class Searcher:
             floor = vals.min(axis=-1).astype(jnp.float32)
             if do_rerank:
                 qv = jax.lax.dynamic_slice_in_dim(qv_all, start, bs)
-                vals, rows = rerank_raw(qv, qi, rows, arrs[-2], arrs[-1])
+                vals, rows = rerank_raw(
+                    qv, qi, rows, arrs[val_pos], arrs[idx_pos])
             if emit_floor:
                 return vals, rows, floor
             return vals, rows
-
-        all_arrays = s1_arrays + (
-            (idx.values, idx.indices) if do_rerank else ()
-        )
 
         if self._tier2 is not None:
             # tier-2 program over the RESIDENT query arrays: gather the
@@ -814,7 +834,7 @@ class Searcher:
                 qi = jnp.take(qi_all, sel, axis=0)
                 vals, rows = t2_stage1(qv1, qi, *arrs[: len(s1_arrays)])
                 qv = jnp.take(qv_all, sel, axis=0)
-                return t2_rerank(qv, qi, rows, arrs[-2], arrs[-1])
+                return t2_rerank(qv, qi, rows, arrs[val_pos], arrs[idx_pos])
 
             # sel stays HOST numpy: like the main path's np.int32(start),
             # jit replicates it — a jnp.asarray would commit it to one
