@@ -49,7 +49,14 @@ def test_load_measured_points_absent_and_present(tmp_path, monkeypatch):
     import bench
 
     real = bench._load_measured_points()
-    assert isinstance(real, dict)  # whatever state the repo is in
+    assert isinstance(real, dict)
+    # the committed round-5 artifact: >=1 real on-chip point at >=2.62M
+    # rows with a quadruple-digit 8.8M ip+rerank median
+    pts = real.get("points", [])
+    assert pts, "docs/measured_points.json should be committed with points"
+    assert all("qps_median" in p and p["rows"] >= 2_621_440 for p in pts)
+    assert any(p["rows"] == 8_806_400 and p["qps_median"] > 1000
+               for p in pts)
 
     monkeypatch.setattr(bench.os.path, "abspath",
                         lambda p: str(tmp_path / "bench.py"))
